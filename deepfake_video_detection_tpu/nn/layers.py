@@ -145,8 +145,12 @@ def max_pool2d(
     stride: int,
     padding: int = 0,
 ) -> jnp.ndarray:
-    """torch.nn.MaxPool2d on NHWC (pads with -inf like torch)."""
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    """torch.nn.MaxPool2d on NHWC (pads with -inf like torch).
+
+    The init value must be ``-inf`` (not ``finfo.min``) — JAX's reverse-mode
+    rule for ``reduce_window`` only recognises the canonical max monoid.
+    """
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(
         x, neg, lax.max,
         window_dimensions=(1, kernel, kernel, 1),

@@ -1,0 +1,8 @@
+from deepfake_video_detection_tpu.parallel.mesh import (  # noqa: F401
+    MeshSpec,
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+    replicate,
+)

@@ -1,0 +1,76 @@
+"""Basic training CLI (≙ ``src/train.py:255-413``).
+
+``dfdt-train --data_dir data/faces --model vit_gcn|cnn_lstm --epochs 10``
+
+Model zoo dispatch, 80/20 split, class balancing (``--balance``), StepLR,
+per-epoch + best-by-F1 checkpoints, ``preds_epoch_N.csv``, ``--resume``,
+``--smoke``. Data parallel over all visible devices by default.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from deepfake_video_detection_tpu.data.dataset import VideoFacesDataset
+from deepfake_video_detection_tpu.models.cnn_lstm import CNNLSTMHybrid
+from deepfake_video_detection_tpu.models.gcn import FrameGraphDetector
+from deepfake_video_detection_tpu.parallel.mesh import make_mesh
+from deepfake_video_detection_tpu.train.trainer import Trainer, TrainerConfig
+
+
+def build_model(name: str, num_frames: int, vit_variant: str = "vit_tiny_patch16_224"):
+    name = name.lower()
+    if name in ("vit_gcn", "gcn"):
+        model = FrameGraphDetector(vit_variant=vit_variant)
+        return model, "chain", {"model_type": "vit_gcn", "vit_variant": vit_variant}
+    if name in ("cnn_lstm", "cnnlstm"):
+        return CNNLSTMHybrid(), None, {"model_type": "cnn_lstm"}
+    raise ValueError(f"unknown model {name!r}")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="Train a deepfake video detector (TPU)")
+    ap.add_argument("--data_dir", required=True)
+    ap.add_argument("--model", default="vit_gcn", choices=["vit_gcn", "cnn_lstm"])
+    ap.add_argument("--vit_variant", default="vit_tiny_patch16_224")
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--num_frames", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--balance", default="weights", choices=["weights", "sampler", "none"])
+    ap.add_argument("--out_dir", default="checkpoints")
+    ap.add_argument("--resume", default=None)
+    ap.add_argument("--checkpoint", default=None, help="alias of --resume")
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--recursive", action="store_true")
+    ap.add_argument("--no-augment", action="store_true")
+    ap.add_argument("--torch-export", action="store_true")
+    args = ap.parse_args(argv)
+
+    ds = VideoFacesDataset(args.data_dir, num_frames=args.num_frames,
+                           recursive=args.recursive)
+    train_ds, val_ds = ds.split(0.2)
+    model, adjacency, model_config = build_model(args.model, args.num_frames,
+                                                 args.vit_variant)
+    cfg = TrainerConfig(
+        out_dir=args.out_dir, epochs=args.epochs, batch_size=args.batch_size,
+        num_frames=args.num_frames, lr=args.lr, optimizer="adam",
+        schedule="step", loss="ce", balance=args.balance, grad_clip=None,
+        best_metric="f1", smoke=args.smoke, adjacency=adjacency,
+        augment=not args.no_augment, keep_torch_export=args.torch_export,
+        model_config=model_config,
+    )
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    trainer = Trainer(model, train_ds, val_ds, cfg, mesh=mesh)
+    state = None
+    resume = args.resume or args.checkpoint
+    if resume:
+        state = trainer.resume(resume)
+    trainer.train(state)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

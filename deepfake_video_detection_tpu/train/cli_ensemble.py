@@ -1,0 +1,67 @@
+"""Ensemble training CLI.
+
+The reference's ``EnsembleTrainer`` (``src/ensemble_trainer.py``) has **no CLI
+driver** — ``validate_improvements.py:232`` references a ``train_ensemble.py``
+that does not exist in the snapshot (SURVEY.md §2.3). This CLI supplies the
+missing driver: AdamW + CosineWarmRestarts(10, 2), inverse-frequency class
+weights, per-epoch threshold sweep → ``calibration_best.json``,
+``training_history.csv``, best-by-configurable-metric, interrupt checkpoint.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from deepfake_video_detection_tpu.data.dataset import VideoFacesDataset
+from deepfake_video_detection_tpu.models.backbone_detector import EnsembleDetector
+from deepfake_video_detection_tpu.parallel.mesh import make_mesh
+from deepfake_video_detection_tpu.train.trainer import Trainer, TrainerConfig
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="Train an ensemble of backbone detectors")
+    ap.add_argument("--data_dir", required=True)
+    ap.add_argument("--backbones", default="efficientnet_b0,resnet18",
+                    help="comma-separated member backbones")
+    ap.add_argument("--ensemble_method", default="average",
+                    choices=["average", "weighted", "voting"])
+    ap.add_argument("--epochs", type=int, default=50)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--num_frames", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--weight_decay", type=float, default=1e-4)
+    ap.add_argument("--best_metric", default="f1",
+                    help="accuracy|f1|auc|loss (aliases accepted)")
+    ap.add_argument("--out_dir", default="checkpoints_ensemble")
+    ap.add_argument("--resume", default=None)
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--recursive", action="store_true")
+    ap.add_argument("--torch-export", action="store_true")
+    args = ap.parse_args(argv)
+
+    backbones = [b.strip() for b in args.backbones.split(",") if b.strip()]
+    ds = VideoFacesDataset(args.data_dir, num_frames=args.num_frames,
+                           recursive=args.recursive)
+    train_ds, val_ds = ds.split(0.2)
+    model = EnsembleDetector(backbones, ensemble_method=args.ensemble_method)
+    cfg = TrainerConfig(
+        out_dir=args.out_dir, epochs=args.epochs, batch_size=args.batch_size,
+        num_frames=args.num_frames, lr=args.lr, weight_decay=args.weight_decay,
+        optimizer="adamw", schedule="warm_restarts", warm_t0=10, warm_tmult=2,
+        loss="ce", balance="weights", grad_clip=1.0,
+        best_metric=args.best_metric, threshold_sweep=True,
+        smoke=args.smoke, keep_torch_export=args.torch_export,
+        model_config={"model_type": "ensemble", "backbones": backbones,
+                      "ensemble_method": args.ensemble_method},
+    )
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    trainer = Trainer(model, train_ds, val_ds, cfg, mesh=mesh)
+    state = trainer.resume(args.resume) if args.resume else None
+    trainer.train(state)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,107 @@
+"""Jitted train/eval steps with data-parallel sharding baked in.
+
+This is the TPU-native replacement for the reference's per-batch loops
+(``src/train.py:104-199``, ``src/train_improved.py:186-236``,
+``src/ensemble_trainer.py:173-240``): forward, loss, backward, optimizer
+update, and metric accumulation are ONE compiled XLA program.
+
+Parallelism: the step is jitted with ``in_shardings`` that shard the batch
+over the mesh's ``data`` axis and replicate params. XLA inserts the gradient
+all-reduce (psum over ICI) automatically — no hand-written collectives, no
+NCCL analogue (SURVEY.md §2.6/§5.8).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from deepfake_video_detection_tpu.train.state import TrainState
+
+
+def _model_outputs(model, variables, batch, train, rng):
+    """Dispatch over the two model calling conventions (frames-only vs
+    frames+adjacency) and normalise the output to (logits, new_state)."""
+    if "adjacency" in batch:
+        out, new_state = model.apply(variables, batch["frames"], batch["adjacency"],
+                                     train=train, rng=rng)
+    else:
+        out, new_state = model.apply(variables, batch["frames"], train=train, rng=rng)
+    logits = out[0] if isinstance(out, tuple) else out
+    return logits, new_state
+
+
+def make_train_step(
+    model: Any,
+    tx: Any,
+    loss_fn: Callable[..., jnp.ndarray],
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+) -> Callable[[TrainState, dict, jax.Array], Tuple[TrainState, dict]]:
+    """Build the compiled train step.
+
+    ``batch``: dict with ``frames`` (B,T,H,W,C), ``labels`` (B,), optionally
+    ``adjacency`` (B,N,N) — every leaf is batch-major so it shards on dim 0.
+    Returns ``(new_state, metrics)`` with loss and per-batch correct count.
+    """
+
+    def step(state: TrainState, batch: dict, rng: jax.Array):
+        def compute_loss(params):
+            variables = {"params": params, "state": state.model_state}
+            logits, new_model_state = _model_outputs(model, variables, batch, True, rng)
+            # class weights are baked into loss_fn via functools.partial —
+            # keeping them out of `batch` lets every batch leaf shard on dim 0
+            loss = loss_fn(logits, batch["labels"])
+            return loss, (logits, new_model_state)
+
+        (loss, (logits, new_model_state)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: (p + u).astype(p.dtype), state.params, updates)
+        preds = jnp.argmax(logits, axis=-1)
+        metrics = {
+            "loss": loss,
+            "correct": jnp.sum(preds == batch["labels"]),
+            "count": jnp.asarray(batch["labels"].shape[0], jnp.int32),
+            "grad_norm": optax_global_norm(grads),
+        }
+        new_state = TrainState(new_params, new_model_state, new_opt_state,
+                               state.step + 1)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    repl = NamedSharding(mesh, P())       # params/opt state: replicated (pure DP)
+    data = NamedSharding(mesh, P("data"))  # batch: sharded on dim 0
+    return jax.jit(
+        step,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(model: Any, mesh: Optional[Mesh] = None) -> Callable:
+    """Compiled eval forward: returns softmax probabilities (B, C) and logits."""
+
+    def step(variables: dict, batch: dict):
+        logits, _ = _model_outputs(model, variables, batch, False, None)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return {"logits": logits, "probs": probs}
+
+    if mesh is None:
+        return jax.jit(step)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(step, in_shardings=(repl, data), out_shardings=data)
+
+
+def optax_global_norm(tree: Any) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))

@@ -1,0 +1,419 @@
+"""Unified trainer.
+
+One parameterised training loop reproducing the behaviour of all three
+reference trainers (SURVEY.md §2.3, §7.4):
+
+* basic (``src/train.py:255-413``): Adam + StepLR(5, 0.5), class-weighted CE
+  or weighted sampler, per-epoch ``checkpoint_epoch_N`` + best-by-F1
+  ``checkpoint_best``, ``preds_epoch_N.csv``, ``--resume``, ``--smoke``;
+* improved (``src/train_improved.py``): AdamW + Cosine + ReduceLROnPlateau,
+  focal loss w/ label smoothing, early stopping (patience 20), grad-clip 1.0,
+  best-by-val-acc ckpt with ``model_config``, periodic every 10 epochs,
+  ``--init-from`` warm start, ``training_metrics_improved.csv``;
+* ensemble (``src/ensemble_trainer.py``): AdamW + CosineWarmRestarts(10, 2),
+  inverse-frequency class weights, per-epoch bounded threshold sweep,
+  best-by-configurable-metric (with aliases), ``calibration_best.json``,
+  ``training_history.csv`` rewritten each epoch, KeyboardInterrupt →
+  interrupt checkpoint.
+
+TPU-native core: ONE jitted train step (forward+loss+backward+update, §steps)
+over a batch sharded on the mesh's ``data`` axis; augmentation runs on device
+inside the prefetch transform; the host loop only does IO and metrics.
+"""
+
+from __future__ import annotations
+
+import csv
+import functools
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from deepfake_video_detection_tpu.data.augment import AugmentConfig, augment_batch
+from deepfake_video_detection_tpu.data.loader import Loader, prefetch_to_device
+from deepfake_video_detection_tpu.data.normalize import imagenet_normalize
+from deepfake_video_detection_tpu.evals.metrics import (
+    binary_metrics, confusion_matrix, roc_auc, threshold_sweep)
+from deepfake_video_detection_tpu.checkpoint.store import (
+    load_checkpoint, restore_opt_state, save_checkpoint, save_torch_checkpoint)
+from deepfake_video_detection_tpu.train import losses as losses_mod
+from deepfake_video_detection_tpu.train import optim as optim_mod
+from deepfake_video_detection_tpu.train.state import TrainState
+from deepfake_video_detection_tpu.train.steps import make_eval_step, make_train_step
+from deepfake_video_detection_tpu.utils.graph import chain_adjacency, normalize_adjacency
+
+# metric-name aliases ≙ ``src/ensemble_trainer.py:393-445``
+_METRIC_ALIASES = {
+    "acc": "accuracy", "accuracy": "accuracy", "val_acc": "accuracy",
+    "val_accuracy": "accuracy",
+    "f1": "f1", "f1_score": "f1", "val_f1": "f1",
+    "auc": "auc", "roc_auc": "auc",
+    "precision": "precision", "recall": "recall",
+    "loss": "val_loss", "val_loss": "val_loss",
+}
+
+
+@dataclass
+class TrainerConfig:
+    out_dir: str = "checkpoints"
+    epochs: int = 10
+    batch_size: int = 8
+    num_frames: int = 16
+    lr: float = 1e-3
+    weight_decay: float = 1e-4
+    optimizer: str = "adamw"
+    schedule: str = "step"            # step | cosine | warm_restarts | const
+    step_size: int = 5
+    step_gamma: float = 0.5
+    warm_t0: int = 10
+    warm_tmult: int = 2
+    loss: str = "ce"                  # ce | focal
+    label_smoothing: float = 0.0
+    focal_alpha: float = 1.0
+    focal_gamma: float = 2.0
+    balance: str = "weights"          # weights | sampler | none
+    grad_clip: Optional[float] = 1.0
+    plateau: bool = False
+    plateau_patience: int = 10
+    early_stopping_patience: Optional[int] = None
+    best_metric: str = "f1"
+    threshold_sweep: bool = False
+    save_every: int = 1               # per-epoch ckpt cadence
+    keep_torch_export: bool = False   # also write reference-layout .pt
+    seed: int = 42
+    smoke: bool = False
+    adjacency: Optional[str] = None   # None | chain | full — for graph models
+    augment: bool = True
+    compute_dtype: str = "float32"
+    model_config: Dict[str, Any] = field(default_factory=dict)
+
+
+class Trainer:
+    def __init__(
+        self,
+        model: Any,
+        train_ds: Any,
+        val_ds: Any,
+        config: TrainerConfig,
+        mesh: Optional[Any] = None,
+        fake_index: int = 1,
+    ):
+        self.model = model
+        self.train_ds = train_ds
+        self.val_ds = val_ds
+        self.cfg = config
+        self.mesh = mesh
+        self.fake_index = fake_index
+        self.history: List[Dict[str, Any]] = []
+        self.best_value: Optional[float] = None
+        self.best_epoch = -1
+        self.calibration: Dict[str, float] = {}
+        self.start_epoch = 0
+
+        os.makedirs(config.out_dir, exist_ok=True)
+
+        # ---- loss ----
+        cw = None
+        if config.balance == "weights":
+            cw = losses_mod.inverse_frequency_class_weights(train_ds.labels())
+        if config.loss == "focal":
+            self.loss_fn = functools.partial(
+                losses_mod.focal_loss, alpha=config.focal_alpha,
+                gamma=config.focal_gamma, label_smoothing=config.label_smoothing,
+                class_weights=cw)
+        else:
+            self.loss_fn = functools.partial(
+                losses_mod.cross_entropy_loss,
+                label_smoothing=config.label_smoothing, class_weights=cw)
+
+        # ---- optimizer / schedule ----
+        steps_per_epoch = max(1, len(train_ds) // config.batch_size)
+        if config.schedule == "step":
+            sched = optim_mod.step_lr_schedule(config.lr, config.step_size,
+                                               config.step_gamma, steps_per_epoch)
+        elif config.schedule == "cosine":
+            sched = optim_mod.cosine_schedule(config.lr, config.epochs,
+                                              steps_per_epoch=steps_per_epoch)
+        elif config.schedule == "warm_restarts":
+            sched = optim_mod.cosine_warm_restarts(config.lr, config.warm_t0,
+                                                   config.warm_tmult,
+                                                   steps_per_epoch=steps_per_epoch)
+        else:
+            sched = config.lr
+        self.tx = optim_mod.build_optimizer(config.optimizer, sched,
+                                            config.weight_decay, config.grad_clip)
+        self.plateau = optim_mod.ReduceLROnPlateau(
+            mode="min", patience=config.plateau_patience) if config.plateau else None
+        self.early = optim_mod.EarlyStopping(config.early_stopping_patience) \
+            if config.early_stopping_patience else None
+
+        # ---- compiled steps ----
+        self.train_step = make_train_step(model, self.tx, self.loss_fn, mesh)
+        self.eval_step = make_eval_step(model, mesh)
+
+        # ---- adjacency (graph models): fixed chain graph over T frames ----
+        self._adjacency = None
+        if config.adjacency:
+            A = chain_adjacency(config.num_frames) if config.adjacency == "chain" \
+                else np.ones((config.num_frames, config.num_frames), np.float32)
+            self._adjacency = np.asarray(normalize_adjacency(A))
+
+        # ---- device-side batch transform: augment (train) + normalize ----
+        aug_cfg = AugmentConfig()
+
+        @jax.jit
+        def _prep_train(batch, rng):
+            frames = augment_batch(rng, batch["frames"], aug_cfg) if config.augment \
+                else batch["frames"].astype(jnp.float32)
+            frames = imagenet_normalize(frames / 255.0, scaled=True) \
+                if config.augment else imagenet_normalize(frames)
+            out = dict(batch, frames=frames)
+            return out
+
+        @jax.jit
+        def _prep_eval(batch):
+            return dict(batch, frames=imagenet_normalize(batch["frames"]))
+
+        self._prep_train = _prep_train
+        self._prep_eval = _prep_eval
+
+    # ------------------------------------------------------------------
+    # state init / resume
+    # ------------------------------------------------------------------
+
+    def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
+        variables = self.model.init(rng)
+        if self.mesh is not None:
+            from deepfake_video_detection_tpu.parallel.mesh import replicate
+            variables = replicate(variables, self.mesh)
+        return TrainState.create(variables, self.tx)
+
+    def resume(self, path: str, state: Optional[TrainState] = None) -> TrainState:
+        """Restore params/state/opt/epoch from a native checkpoint
+        (≙ ``src/train.py:349-387``)."""
+        state = state if state is not None else self.init_state()
+        variables, meta = load_checkpoint(path)
+        opt_state = restore_opt_state(state.opt_state, meta)
+        self.start_epoch = int(meta.get("epoch", -1)) + 1
+        self.best_value = meta.get("best_value")
+        step = jnp.asarray(int(meta.get("step", 0)), jnp.int32)
+        return TrainState(variables["params"], variables["state"], opt_state, step)
+
+    def warm_start(self, path: str, state: Optional[TrainState] = None) -> TrainState:
+        """Params-only init (≙ ``--init-from``, ``src/train_improved.py:570-577``)."""
+        state = state if state is not None else self.init_state()
+        variables, _ = load_checkpoint(path)
+        return TrainState(variables["params"], variables["state"],
+                          state.opt_state, state.step)
+
+    # ------------------------------------------------------------------
+    # epoch loops
+    # ------------------------------------------------------------------
+
+    def _make_loader(self, ds, train: bool) -> Loader:
+        if self.cfg.smoke:
+            from deepfake_video_detection_tpu.data.dataset import SubsetDataset
+            base = getattr(ds, "base", ds)
+            idx = getattr(ds, "indices", list(range(len(ds))))[:16]
+            ds = SubsetDataset(base, idx)
+        mult = 1
+        if self.mesh is not None:
+            mult = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names
+                                if a == "data"]))
+        return Loader(ds, self.cfg.batch_size,
+                      shuffle=train,
+                      weighted=train and self.cfg.balance == "sampler",
+                      seed=self.cfg.seed, num_workers=4,
+                      pad_to_multiple=mult)
+
+    def _attach_adjacency(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        if self._adjacency is not None:
+            B = batch["frames"].shape[0]
+            batch["adjacency"] = np.broadcast_to(
+                self._adjacency, (B,) + self._adjacency.shape).copy()
+        return batch
+
+    def train_epoch(self, state: TrainState, epoch: int) -> tuple:
+        loader = self._make_loader(self.train_ds, train=True)
+        rng = jax.random.PRNGKey(self.cfg.seed * 9973 + epoch)
+        tot_loss, tot_correct, tot_count = 0.0, 0, 0
+        t0 = time.time()
+        it = (self._attach_adjacency(b) for b in loader)
+        for batch in prefetch_to_device(it, self.mesh):
+            rng, k_aug, k_drop = jax.random.split(rng, 3)
+            batch.pop("paths", None)
+            valid = batch.pop("valid")
+            batch = self._prep_train(batch, k_aug)
+            state, metrics = self.train_step(state, batch, k_drop)
+            n = int(np.asarray(jnp.sum(valid)))
+            tot_loss += float(metrics["loss"]) * n
+            tot_correct += int(metrics["correct"])
+            tot_count += n
+        return state, {
+            "train_loss": tot_loss / max(tot_count, 1),
+            "train_acc": tot_correct / max(tot_count, 1),
+            "epoch_time_s": time.time() - t0,
+        }
+
+    def validate(self, state: TrainState, epoch: int,
+                 write_preds: bool = True) -> Dict[str, Any]:
+        loader = self._make_loader(self.val_ds, train=False)
+        probs_all, labels_all, paths_all = [], [], []
+        losses = []
+        it = (self._attach_adjacency(b) for b in loader)
+        for batch in prefetch_to_device(it, self.mesh):
+            paths = batch.pop("paths", [])
+            valid = np.asarray(batch.pop("valid"))
+            batch = self._prep_eval(batch)
+            out = self.eval_step(state.variables, batch)
+            probs = np.asarray(out["probs"])[valid]
+            labels = np.asarray(batch["labels"])[valid]
+            logits = np.asarray(out["logits"])[valid]
+            if labels.size:
+                lp = logits - logits.max(-1, keepdims=True)
+                lse = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+                losses.append(float(-lse[np.arange(labels.size), labels].mean()))
+            probs_all.append(probs)
+            labels_all.append(labels)
+            paths_all.extend([p for p, v in zip(paths, valid) if v])
+        probs = np.concatenate(probs_all) if probs_all else np.zeros((0, 2))
+        labels = np.concatenate(labels_all) if labels_all else np.zeros((0,), np.int64)
+        prob_fake = probs[:, self.fake_index] if probs.size else np.zeros((0,))
+        preds = np.argmax(probs, axis=-1) if probs.size else np.zeros((0,), np.int64)
+
+        m = binary_metrics(labels, preds, positive=self.fake_index)
+        m["auc"] = roc_auc((labels == self.fake_index).astype(np.int64), prob_fake)
+        m["val_loss"] = float(np.mean(losses)) if losses else 0.0
+        m["confusion"] = confusion_matrix(labels, preds).tolist()
+        if self.cfg.threshold_sweep and labels.size:
+            m.update(threshold_sweep(labels, prob_fake, fake_index=self.fake_index))
+        if write_preds:
+            self._write_preds_csv(epoch, paths_all, labels, preds, prob_fake)
+        return m
+
+    # ------------------------------------------------------------------
+    # artifacts (CSV / calibration / checkpoints)
+    # ------------------------------------------------------------------
+
+    def _write_preds_csv(self, epoch, paths, labels, preds, prob_fake):
+        """≙ ``preds_epoch_N.csv`` (``src/train.py:245-250``)."""
+        path = os.path.join(self.cfg.out_dir, f"preds_epoch_{epoch}.csv")
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["path", "label", "pred", "prob_fake"])
+            for row in zip(paths, labels.tolist(), preds.tolist(), prob_fake.tolist()):
+                w.writerow(row)
+
+    def _write_history(self):
+        """Rewrite ``training_history.csv`` each epoch
+        (≙ ``src/ensemble_trainer.py:573-609``)."""
+        if not self.history:
+            return
+        path = os.path.join(self.cfg.out_dir, "training_history.csv")
+        keys = sorted({k for row in self.history for k in row
+                       if not isinstance(row[k], (list, dict))})
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=keys, extrasaction="ignore")
+            w.writeheader()
+            for row in self.history:
+                w.writerow({k: row.get(k, "") for k in keys})
+
+    def _write_calibration(self, metrics: Dict[str, Any], epoch: int):
+        """≙ ``calibration_best.json`` (``src/ensemble_trainer.py:474-488``)."""
+        self.calibration = {
+            "best_thr_accuracy": metrics.get("best_thr_accuracy", 0.5),
+            "best_accuracy": metrics.get("best_accuracy", metrics.get("accuracy", 0.0)),
+            "best_thr_f1": metrics.get("best_thr_f1", 0.5),
+            "best_f1": metrics.get("best_f1", metrics.get("f1", 0.0)),
+            "epoch": epoch,
+        }
+        with open(os.path.join(self.cfg.out_dir, "calibration_best.json"), "w") as f:
+            json.dump(self.calibration, f, indent=2)
+
+    def _ckpt_meta(self, epoch: int, metrics: Dict[str, Any]) -> Dict[str, Any]:
+        return {"epoch": epoch,
+                "metrics": {k: v for k, v in metrics.items()
+                            if isinstance(v, (int, float))},
+                "best_value": self.best_value,
+                "model_config": self.cfg.model_config}
+
+    def save(self, state: TrainState, name: str, epoch: int,
+             metrics: Dict[str, Any], with_opt: bool = True):
+        path = os.path.join(self.cfg.out_dir, f"{name}.npz")
+        save_checkpoint(path, state.variables, self._ckpt_meta(epoch, metrics),
+                        opt_state=state.opt_state if with_opt else None,
+                        step=int(state.step))
+        if self.cfg.keep_torch_export:
+            try:
+                save_torch_checkpoint(
+                    os.path.join(self.cfg.out_dir, f"{name}.pt"),
+                    state.variables, layout="model_config",
+                    meta={"model_config": self.cfg.model_config})
+            except ImportError:
+                pass
+
+    # ------------------------------------------------------------------
+    # main loop
+    # ------------------------------------------------------------------
+
+    def _metric_value(self, metrics: Dict[str, Any]) -> tuple:
+        key = _METRIC_ALIASES.get(self.cfg.best_metric.lower(), "f1")
+        if key == "val_loss":
+            return -float(metrics.get("val_loss", np.inf)), key
+        return float(metrics.get(key, 0.0)), key
+
+    def train(self, state: Optional[TrainState] = None,
+              log: Callable[[str], None] = print) -> TrainState:
+        state = state if state is not None else self.init_state()
+        try:
+            for epoch in range(self.start_epoch, self.cfg.epochs):
+                state, train_m = self.train_epoch(state, epoch)
+                val_m = self.validate(state, epoch)
+                value, key = self._metric_value(val_m)
+
+                row = {"epoch": epoch, **train_m,
+                       **{k: v for k, v in val_m.items() if k != "confusion"}}
+                self.history.append(row)
+                self._write_history()
+                if self.cfg.threshold_sweep:
+                    is_best_sweep = self.best_value is None or value > self.best_value
+                    if is_best_sweep:
+                        self._write_calibration(val_m, epoch)
+
+                if self.plateau is not None:
+                    factor = self.plateau.update(val_m["val_loss"])
+                    state.opt_state.hyperparams["plateau_factor"] = jnp.asarray(factor)
+
+                if self.cfg.save_every and (epoch + 1) % self.cfg.save_every == 0:
+                    self.save(state, f"checkpoint_epoch_{epoch}", epoch, val_m)
+                if self.best_value is None or value > self.best_value:
+                    self.best_value = value
+                    self.best_epoch = epoch
+                    self.save(state, "checkpoint_best", epoch, val_m)
+                    self.save(state, f"checkpoint_best_epoch_{epoch}", epoch, val_m,
+                              with_opt=False)
+
+                log(f"epoch {epoch}: loss={train_m['train_loss']:.4f} "
+                    f"acc={train_m['train_acc']:.4f} val_acc={val_m['accuracy']:.4f} "
+                    f"val_f1={val_m['f1']:.4f} val_auc={val_m['auc']:.4f} "
+                    f"({key}={value:.4f}, best={self.best_value:.4f}@{self.best_epoch}) "
+                    f"[{train_m['epoch_time_s']:.1f}s]")
+
+                if self.early is not None and self.early.update(value):
+                    log(f"early stopping at epoch {epoch} "
+                        f"(no improvement for {self.early.patience})")
+                    break
+        except KeyboardInterrupt:
+            # ≙ interrupt checkpoint (``src/ensemble_trainer.py:450-461``)
+            self.save(state, "checkpoint_interrupt", -1, {})
+            log("interrupted — wrote checkpoint_interrupt.npz (resume with --resume)")
+            raise
+        return state
