@@ -1,0 +1,180 @@
+"""Face extraction pipeline: video → per-frame face crops.
+
+Capability parity with ``extract_faces_from_video`` (``app.py:1908-2025``)
+and ``_detect_faces_as_arrays`` (``src/data_prepare.py:25``): sample frames,
+detect faces (largest box unless ``KEEP_ALL_FACES``), crop with margin,
+resize to ``FACE_SIZE`` (default 224). Env knobs honoured:
+``VIDEO_SAMPLE_RATE``, ``FACE_DETECTOR``, ``MAX_FRAMES``, ``FACE_SIZE``,
+``KEEP_ALL_FACES``.
+
+Detectors:
+* ``mtcnn``  — the JAX cascade (``models/mtcnn.py``); needs pretrained
+  weights (facenet-pytorch layout) supplied via ``MTCNN_WEIGHTS`` — the
+  image ships none, so this is opt-in;
+* ``center`` — weight-free fallback (≙ the reference's Haar fallback role,
+  ``app.py:1988-2025``): a face-prior center square crop with margin.
+  DFDC-style clips are face-framed, so this keeps the pipeline functional
+  end-to-end without any learned detector;
+* ``none``   — frames are already face crops (``--frames-are-faces``).
+
+Crops are batched per video; resize runs as one vectorised
+``jax.image.scale_and_translate`` call on device (the reference resized one
+PIL image at a time on host).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from deepfake_video_detection_tpu.data.video import sample_video_frames
+
+
+def _env_int(name: str, default: int) -> int:
+    try:
+        return int(os.environ.get(name, "").strip() or default)
+    except ValueError:
+        return default
+
+
+def center_square_boxes(n: int, height: int, width: int,
+                        margin: float = 0.1) -> np.ndarray:
+    """Center square with ``margin`` shaved off each side — the weight-free
+    face prior for face-framed footage. Returns (n, 4) xyxy."""
+    side = min(height, width) * (1.0 - margin)
+    cx, cy = width / 2.0, height / 2.0
+    box = np.array([cx - side / 2, cy - side / 2, cx + side / 2, cy + side / 2],
+                   np.float32)
+    return np.tile(box, (n, 1))
+
+
+def crop_and_resize_batch(frames: np.ndarray, boxes: np.ndarray,
+                          size: int) -> np.ndarray:
+    """Crop box i from frame i and resize to (size, size) — one vmapped
+    device op for the whole clip. ``frames`` (N,H,W,3) uint8, ``boxes``
+    (N,4) xyxy float."""
+    import jax
+    import jax.numpy as jnp
+
+    def one(frame, box):
+        x1, y1, x2, y2 = box
+        w = jnp.maximum(x2 - x1, 1.0)
+        h = jnp.maximum(y2 - y1, 1.0)
+        scale_y = size / h
+        scale_x = size / w
+        return jax.image.scale_and_translate(
+            frame.astype(jnp.float32), (size, size, 3), (0, 1),
+            jnp.stack([scale_y, scale_x]),
+            jnp.stack([-y1 * scale_y, -x1 * scale_x]), "linear")
+
+    out = jax.jit(jax.vmap(one))(jnp.asarray(frames), jnp.asarray(boxes, jnp.float32))
+    return np.clip(np.asarray(out), 0, 255).astype(np.uint8)
+
+
+class FaceExtractor:
+    """Stateful extractor (caches the jitted MTCNN per input resolution)."""
+
+    def __init__(self, detector: Optional[str] = None,
+                 face_size: Optional[int] = None,
+                 keep_all: Optional[bool] = None,
+                 margin: float = 0.1,
+                 mtcnn_weights: Optional[str] = None):
+        self.detector = (detector or os.environ.get("FACE_DETECTOR", "center")
+                         ).strip().lower()
+        self.face_size = face_size or _env_int("FACE_SIZE", 224)
+        if keep_all is None:
+            keep_all = os.environ.get("KEEP_ALL_FACES", "").strip().lower() in (
+                "1", "true", "yes")
+        self.keep_all = keep_all
+        self.margin = margin
+        self._mtcnn_cache = {}
+        self._mtcnn_params = None
+        self._mtcnn_weights = mtcnn_weights or os.environ.get("MTCNN_WEIGHTS")
+        if self.detector == "mtcnn" and not self._mtcnn_weights:
+            # no learned weights available → degrade gracefully (≙ the
+            # reference's MTCNN→Haar fallback chain)
+            self.detector = "center"
+
+    # -- detection ------------------------------------------------------------
+
+    def _detect_mtcnn(self, frames: np.ndarray) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+
+        from deepfake_video_detection_tpu.models.mtcnn import (
+            MTCNN, import_facenet_weights)
+
+        H, W = frames.shape[1], frames.shape[2]
+        key = (H, W)
+        if key not in self._mtcnn_cache:
+            det = MTCNN(image_size=(H, W))
+            if self._mtcnn_params is None:
+                if self._mtcnn_weights:
+                    from deepfake_video_detection_tpu.checkpoint.store import load_any
+                    sd, _ = load_any(self._mtcnn_weights)
+                    self._mtcnn_params = import_facenet_weights(sd)
+                else:
+                    self._mtcnn_params = det.init(jax.random.PRNGKey(0))
+            fn = jax.jit(lambda img: det.detect(self._mtcnn_params, img))
+            self._mtcnn_cache[key] = fn
+        fn = self._mtcnn_cache[key]
+        boxes_out = []
+        for frame in frames:
+            boxes, scores, valid = fn(jnp.asarray(frame))
+            boxes, scores, valid = (np.asarray(boxes), np.asarray(scores),
+                                    np.asarray(valid))
+            if not valid.any():
+                boxes_out.append(None)
+            elif self.keep_all:
+                boxes_out.append(boxes[valid])
+            else:  # largest valid box (≙ app.py keep-largest default)
+                areas = ((boxes[:, 2] - boxes[:, 0])
+                         * (boxes[:, 3] - boxes[:, 1]))
+                areas[~valid] = -1
+                boxes_out.append(boxes[int(areas.argmax())][None])
+        return boxes_out
+
+    # -- public API -----------------------------------------------------------
+
+    def extract_from_frames(self, frames: np.ndarray) -> np.ndarray:
+        """(N, H, W, 3) uint8 frames → (M, face_size, face_size, 3) uint8."""
+        if frames.size == 0:
+            return np.zeros((0, self.face_size, self.face_size, 3), np.uint8)
+        n, H, W = frames.shape[0], frames.shape[1], frames.shape[2]
+        if self.detector == "none":
+            boxes = np.tile(np.array([0, 0, W, H], np.float32), (n, 1))
+            return crop_and_resize_batch(frames, boxes, self.face_size)
+        if self.detector == "mtcnn":
+            per_frame = self._detect_mtcnn(frames)
+            sel_frames, sel_boxes = [], []
+            for frame, boxes in zip(frames, per_frame):
+                if boxes is None:
+                    continue
+                for b in boxes:
+                    # margin expansion like the reference's crop margin
+                    w, h = b[2] - b[0], b[3] - b[1]
+                    m = self.margin
+                    sel_boxes.append([b[0] - w * m, b[1] - h * m,
+                                      b[2] + w * m, b[3] + h * m])
+                    sel_frames.append(frame)
+            if not sel_boxes:  # fallback chain: detector found nothing
+                boxes = center_square_boxes(n, H, W, self.margin)
+                return crop_and_resize_batch(frames, boxes, self.face_size)
+            return crop_and_resize_batch(
+                np.stack(sel_frames), np.asarray(sel_boxes, np.float32),
+                self.face_size)
+        # center prior
+        boxes = center_square_boxes(n, H, W, self.margin)
+        return crop_and_resize_batch(frames, boxes, self.face_size)
+
+    def extract_from_video(self, path: str,
+                           sample_rate: Optional[int] = None,
+                           max_frames: Optional[int] = None) -> np.ndarray:
+        """≙ ``extract_faces_from_video`` (``app.py:1908-2025``)."""
+        if max_frames is None:
+            max_frames = max(1, min(_env_int("MAX_FRAMES", 8), 64))
+        frames = sample_video_frames(path, sample_rate=sample_rate,
+                                     max_frames=max_frames)
+        return self.extract_from_frames(frames)

@@ -1,0 +1,187 @@
+"""Video decode: ctypes bindings for the native C++ decoder.
+
+Equivalent capability to ``sample_video_frames`` (``src/utils.py:19-93``),
+which the reference implements over imageio/ffmpeg with a cv2 fallback. Here
+the decoder is first-party native code (``native/videodec.cc`` on
+libavformat/libavcodec/libswscale): decode every Nth frame up to
+``max_frames``, swscale directly to the target size + RGB24 into a
+caller-owned numpy buffer. ``VIDEO_BACKEND`` env is honoured for parity
+(``native`` is the only in-tree backend; ``imageio``/``cv2`` are used if the
+optional packages happen to be installed).
+
+The shared library is compiled on first use (g++, ~2 s) and cached next to
+the source; ``make -C native`` is the manual path. ctypes calls release the
+GIL, so the loader's thread pool gets true parallel decode.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "build", "libvideodec.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+class VideoDecodeError(RuntimeError):
+    pass
+
+
+def _build_library() -> str:
+    os.makedirs(os.path.dirname(_SO_PATH), exist_ok=True)
+    src = os.path.join(_NATIVE_DIR, "videodec.cc")
+    cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", _SO_PATH, src,
+           "-lavformat", "-lavcodec", "-lavutil", "-lswscale"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        detail = getattr(e, "stderr", str(e))
+        raise VideoDecodeError(f"failed to build native video decoder: {detail}")
+    return _SO_PATH
+
+
+def _get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        so = _SO_PATH
+        src = os.path.join(_NATIVE_DIR, "videodec.cc")
+        if (not os.path.exists(so)
+                or (os.path.exists(src)
+                    and os.path.getmtime(src) > os.path.getmtime(so))):
+            _build_library()
+        lib = ctypes.CDLL(so)
+        lib.vd_probe.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p, ctypes.c_int]
+        lib.vd_probe.restype = ctypes.c_int
+        lib.vd_sample.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_char_p,
+            ctypes.c_int]
+        lib.vd_sample.restype = ctypes.c_int
+        lib.vd_encode.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
+            ctypes.c_int]
+        lib.vd_encode.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def probe_video(path: str) -> Tuple[int, int, float, int]:
+    """(width, height, fps, container nframes — 0 when unrecorded)."""
+    lib = _get_lib()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    fps = ctypes.c_double()
+    n = ctypes.c_int64()
+    err = ctypes.create_string_buffer(256)
+    if lib.vd_probe(path.encode(), ctypes.byref(w), ctypes.byref(h),
+                    ctypes.byref(fps), ctypes.byref(n), err, 256) != 0:
+        raise VideoDecodeError(f"{path}: {err.value.decode(errors='replace')}")
+    return w.value, h.value, fps.value, int(n.value)
+
+
+def sample_video_frames(
+    path: str,
+    sample_rate: Optional[int] = None,
+    max_frames: int = 32,
+    size: Optional[Tuple[int, int]] = None,
+) -> np.ndarray:
+    """Decode every ``sample_rate``-th frame up to ``max_frames``.
+
+    Returns (N, H, W, 3) uint8 RGB. ``size=(w, h)`` rescales during decode
+    (swscale — cheaper than a separate resize pass); default keeps the
+    native resolution. ``sample_rate=None`` honours ``VIDEO_SAMPLE_RATE``
+    env (default 5, matching ``app.py:1918``).
+    """
+    if sample_rate is None:
+        try:
+            sample_rate = max(1, int(os.environ.get("VIDEO_SAMPLE_RATE", "5")))
+        except ValueError:
+            sample_rate = 5
+    backend = os.environ.get("VIDEO_BACKEND", "native").strip().lower()
+    if backend in ("imageio", "cv2"):
+        frames = _optional_backend(backend, path, sample_rate, max_frames)
+        if frames is not None:
+            return frames
+    lib = _get_lib()
+    if size is None:
+        w, h, _, _ = probe_video(path)
+    else:
+        w, h = size
+    out = np.empty((max_frames, h, w, 3), np.uint8)
+    err = ctypes.create_string_buffer(256)
+    n = lib.vd_sample(path.encode(), int(sample_rate), int(max_frames),
+                      int(w), int(h),
+                      out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                      err, 256)
+    if n < 0:
+        raise VideoDecodeError(f"{path}: {err.value.decode(errors='replace')}")
+    return out[:n]
+
+
+def encode_video(path: str, frames: np.ndarray, fps: int = 25) -> None:
+    """Write (N, H, W, 3) uint8 RGB frames as an mpeg4 video (test fixtures,
+    GAN sample dumps)."""
+    frames = np.ascontiguousarray(frames, np.uint8)
+    n, h, w, c = frames.shape
+    assert c == 3
+    lib = _get_lib()
+    err = ctypes.create_string_buffer(256)
+    rc = lib.vd_encode(path.encode(),
+                       frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                       n, w, h, fps, err, 256)
+    if rc != 0:
+        raise VideoDecodeError(f"{path}: {err.value.decode(errors='replace')}")
+
+
+def _optional_backend(backend: str, path: str, sample_rate: int,
+                      max_frames: int) -> Optional[np.ndarray]:
+    """Parity shim for the reference's selectable backends; returns None when
+    the optional package is missing (→ fall through to native)."""
+    try:
+        if backend == "imageio":
+            import imageio.v2 as iio
+
+            reader = iio.get_reader(path)
+            frames = []
+            for i, fr in enumerate(reader):
+                if i % sample_rate == 0:
+                    frames.append(np.asarray(fr)[..., :3])
+                    if len(frames) >= max_frames:
+                        break
+            reader.close()
+            return np.stack(frames) if frames else np.zeros((0, 0, 0, 3), np.uint8)
+        if backend == "cv2":
+            import cv2
+
+            cap = cv2.VideoCapture(path)
+            frames = []
+            i = 0
+            while cap.isOpened() and len(frames) < max_frames:
+                ok, fr = cap.read()
+                if not ok:
+                    break
+                if i % sample_rate == 0:
+                    frames.append(cv2.cvtColor(fr, cv2.COLOR_BGR2RGB))
+                i += 1
+            cap.release()
+            return np.stack(frames) if frames else np.zeros((0, 0, 0, 3), np.uint8)
+    except ImportError:
+        return None
+    return None

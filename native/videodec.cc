@@ -1,0 +1,243 @@
+// TPU-host video decode runtime.
+//
+// Replaces the reference's imageio/opencv frame sampler
+// (`src/utils.py:19-93` sample_video_frames) with a native C++ decoder on
+// libavformat/libavcodec/libswscale. Designed for the serving/prep hot loop
+// (SURVEY.md §3.1/§3.5): decode every Nth frame up to max_frames, optionally
+// swscale straight to the target resolution + RGB24, writing into a
+// caller-provided buffer (numpy array) with zero Python-side copies.
+//
+// Frame-level decoder threading is enabled (thread_count=0 → auto); the
+// Python wrapper additionally fans out across videos with a thread pool —
+// ctypes calls release the GIL so decode overlaps TPU compute.
+//
+// C ABI only — consumed via ctypes (no pybind11 in the image).
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswscale/swscale.h>
+}
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <string>
+
+namespace {
+
+struct Ctx {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* dec = nullptr;
+  SwsContext* sws = nullptr;
+  int stream_idx = -1;
+};
+
+void close_ctx(Ctx* c) {
+  if (!c) return;
+  if (c->sws) sws_freeContext(c->sws);
+  if (c->dec) avcodec_free_context(&c->dec);
+  if (c->fmt) avformat_close_input(&c->fmt);
+  delete c;
+}
+
+Ctx* open_ctx(const char* path, char* err, int errlen) {
+  Ctx* c = new Ctx();
+  int rc = avformat_open_input(&c->fmt, path, nullptr, nullptr);
+  if (rc < 0) {
+    av_strerror(rc, err, errlen);
+    close_ctx(c);
+    return nullptr;
+  }
+  if (avformat_find_stream_info(c->fmt, nullptr) < 0) {
+    snprintf(err, errlen, "no stream info");
+    close_ctx(c);
+    return nullptr;
+  }
+  const AVCodec* codec = nullptr;
+  c->stream_idx =
+      av_find_best_stream(c->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &codec, 0);
+  if (c->stream_idx < 0 || !codec) {
+    snprintf(err, errlen, "no video stream");
+    close_ctx(c);
+    return nullptr;
+  }
+  c->dec = avcodec_alloc_context3(codec);
+  avcodec_parameters_to_context(c->dec,
+                                c->fmt->streams[c->stream_idx]->codecpar);
+  c->dec->thread_count = 0;  // auto frame/slice threading
+  if (avcodec_open2(c->dec, codec, nullptr) < 0) {
+    snprintf(err, errlen, "codec open failed");
+    close_ctx(c);
+    return nullptr;
+  }
+  return c;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Probe container metadata. Returns 0 on success.
+int vd_probe(const char* path, int* width, int* height, double* fps,
+             int64_t* nframes, char* err, int errlen) {
+  Ctx* c = open_ctx(path, err, errlen);
+  if (!c) return -1;
+  AVStream* st = c->fmt->streams[c->stream_idx];
+  *width = c->dec->width;
+  *height = c->dec->height;
+  AVRational r = st->avg_frame_rate.num ? st->avg_frame_rate : st->r_frame_rate;
+  *fps = r.den ? av_q2d(r) : 0.0;
+  *nframes = st->nb_frames;  // 0 when the container doesn't record it
+  close_ctx(c);
+  return 0;
+}
+
+// Decode every `sample_rate`-th frame (starting at 0) up to `max_frames`,
+// scaled to (out_w, out_h) RGB24, packed into `out` (size must be
+// max_frames*out_h*out_w*3). Returns the number of frames written, or -1.
+int vd_sample(const char* path, int sample_rate, int max_frames, int out_w,
+              int out_h, uint8_t* out, char* err, int errlen) {
+  if (sample_rate < 1) sample_rate = 1;
+  Ctx* c = open_ctx(path, err, errlen);
+  if (!c) return -1;
+
+  c->sws = sws_getContext(c->dec->width, c->dec->height, c->dec->pix_fmt,
+                          out_w, out_h, AV_PIX_FMT_RGB24,
+                          SWS_BILINEAR, nullptr, nullptr, nullptr);
+  if (!c->sws) {
+    snprintf(err, errlen, "swscale init failed");
+    close_ctx(c);
+    return -1;
+  }
+
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int64_t frame_idx = 0;
+  int written = 0;
+  const int frame_bytes = out_w * out_h * 3;
+  bool done = false;
+
+  auto take = [&](AVFrame* f) {
+    if (frame_idx % sample_rate == 0 && written < max_frames) {
+      uint8_t* dst[1] = {out + (size_t)written * frame_bytes};
+      int dst_stride[1] = {out_w * 3};
+      sws_scale(c->sws, f->data, f->linesize, 0, c->dec->height, dst,
+                dst_stride);
+      ++written;
+    }
+    ++frame_idx;
+    if (written >= max_frames) done = true;
+  };
+
+  while (!done && av_read_frame(c->fmt, pkt) >= 0) {
+    if (pkt->stream_index == c->stream_idx) {
+      if (avcodec_send_packet(c->dec, pkt) == 0) {
+        while (!done && avcodec_receive_frame(c->dec, frame) == 0) take(frame);
+      }
+    }
+    av_packet_unref(pkt);
+  }
+  if (!done) {  // flush delayed frames
+    avcodec_send_packet(c->dec, nullptr);
+    while (!done && avcodec_receive_frame(c->dec, frame) == 0) take(frame);
+  }
+
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  close_ctx(c);
+  return written;
+}
+
+// Test/fixture encoder: write `n` RGB24 frames (packed in `rgb`) as an
+// mpeg4-in-avi video. Lets the test suite create real videos without an
+// ffmpeg binary. Returns 0 on success.
+int vd_encode(const char* path, const uint8_t* rgb, int n, int w, int h,
+              int fps, char* err, int errlen) {
+  AVFormatContext* fmt = nullptr;
+  avformat_alloc_output_context2(&fmt, nullptr, nullptr, path);
+  if (!fmt) {
+    snprintf(err, errlen, "cannot infer output format");
+    return -1;
+  }
+  const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+  if (!codec) codec = avcodec_find_encoder(AV_CODEC_ID_MJPEG);
+  if (!codec) {
+    snprintf(err, errlen, "no encoder");
+    avformat_free_context(fmt);
+    return -1;
+  }
+  AVStream* st = avformat_new_stream(fmt, codec);
+  AVCodecContext* enc = avcodec_alloc_context3(codec);
+  enc->width = w;
+  enc->height = h;
+  enc->time_base = {1, fps};
+  enc->framerate = {fps, 1};
+  enc->pix_fmt = codec->id == AV_CODEC_ID_MJPEG ? AV_PIX_FMT_YUVJ420P
+                                                : AV_PIX_FMT_YUV420P;
+  enc->bit_rate = 2'000'000;
+  enc->gop_size = 12;
+  if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  if (avcodec_open2(enc, codec, nullptr) < 0) {
+    snprintf(err, errlen, "encoder open failed");
+    avcodec_free_context(&enc);
+    avformat_free_context(fmt);
+    return -1;
+  }
+  avcodec_parameters_from_context(st->codecpar, enc);
+  st->time_base = enc->time_base;
+
+  if (!(fmt->oformat->flags & AVFMT_NOFILE) &&
+      avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
+    snprintf(err, errlen, "cannot open output file");
+    avcodec_free_context(&enc);
+    avformat_free_context(fmt);
+    return -1;
+  }
+  avformat_write_header(fmt, nullptr);
+
+  SwsContext* sws =
+      sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h, enc->pix_fmt,
+                     SWS_BILINEAR, nullptr, nullptr, nullptr);
+  AVFrame* fr = av_frame_alloc();
+  fr->format = enc->pix_fmt;
+  fr->width = w;
+  fr->height = h;
+  av_frame_get_buffer(fr, 0);
+  AVPacket* pkt = av_packet_alloc();
+
+  auto drain = [&]() {
+    while (avcodec_receive_packet(enc, pkt) == 0) {
+      av_packet_rescale_ts(pkt, enc->time_base, st->time_base);
+      pkt->stream_index = st->index;
+      av_interleaved_write_frame(fmt, pkt);
+      av_packet_unref(pkt);
+    }
+  };
+
+  for (int i = 0; i < n; ++i) {
+    av_frame_make_writable(fr);
+    const uint8_t* src[1] = {rgb + (size_t)i * w * h * 3};
+    int src_stride[1] = {w * 3};
+    sws_scale(sws, src, src_stride, 0, h, fr->data, fr->linesize);
+    fr->pts = i;
+    avcodec_send_frame(enc, fr);
+    drain();
+  }
+  avcodec_send_frame(enc, nullptr);
+  drain();
+
+  av_write_trailer(fmt);
+  sws_freeContext(sws);
+  av_frame_free(&fr);
+  av_packet_free(&pkt);
+  if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
+  avcodec_free_context(&enc);
+  avformat_free_context(fmt);
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,163 @@
+"""Native video decoder, face extraction, MTCNN cascade plumbing, and the
+dataset-preparation CLI (all three input layouts)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepfake_video_detection_tpu.data.video import (
+    VideoDecodeError, encode_video, probe_video, sample_video_frames)
+from deepfake_video_detection_tpu.data.faces import (
+    FaceExtractor, center_square_boxes, crop_and_resize_batch)
+from deepfake_video_detection_tpu.models.mtcnn import MTCNN, masked_nms
+
+
+@pytest.fixture(scope="module")
+def test_video(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vids") / "clip_fake.avi")
+    frames = np.stack([np.full((64, 80, 3), i * 10, np.uint8) for i in range(20)])
+    encode_video(path, frames, fps=10)
+    return path
+
+
+def test_decode_roundtrip(test_video):
+    w, h, fps, n = probe_video(test_video)
+    assert (w, h, n) == (80, 64, 20)
+    assert fps == pytest.approx(10.0)
+    out = sample_video_frames(test_video, sample_rate=5, max_frames=4)
+    assert out.shape == (4, 64, 80, 3)
+    # every 5th frame: constant values 0, 50, 100, 150 (mpeg4-lossy ≈)
+    means = [f.mean() for f in out]
+    for got, want in zip(means, [0, 50, 100, 150]):
+        assert abs(got - want) < 6
+
+
+def test_decode_with_resize(test_video):
+    out = sample_video_frames(test_video, sample_rate=1, max_frames=8,
+                              size=(40, 32))
+    assert out.shape == (8, 32, 40, 3)
+
+
+def test_decode_missing_file():
+    with pytest.raises(VideoDecodeError):
+        sample_video_frames("/nonexistent/file.mp4")
+
+
+def test_center_crop_extractor(test_video):
+    ex = FaceExtractor(detector="center", face_size=32)
+    faces = ex.extract_from_video(test_video, sample_rate=5, max_frames=4)
+    assert faces.shape == (4, 32, 32, 3)
+    assert faces.dtype == np.uint8
+
+
+def test_crop_and_resize_exactness():
+    # a frame with a known bright square; crop exactly that square
+    frame = np.zeros((1, 100, 100, 3), np.uint8)
+    frame[0, 20:60, 30:70] = 200
+    boxes = np.array([[30, 20, 70, 60]], np.float32)
+    out = crop_and_resize_batch(frame, boxes, 16)
+    assert out.shape == (1, 16, 16, 3)
+    assert out.mean() > 190  # crop covers only the bright region
+
+
+def test_masked_nms_matches_greedy():
+    rng = np.random.default_rng(0)
+    boxes = np.concatenate([
+        rng.uniform(0, 50, (20, 2)),
+        rng.uniform(60, 100, (20, 2))], axis=1).astype(np.float32)
+    scores = rng.random(20).astype(np.float32)
+    valid = np.ones(20, bool)
+    keep = np.asarray(masked_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                                 jnp.asarray(valid), 0.5))
+
+    # reference greedy NMS on host
+    def iou(a, b):
+        x1, y1 = max(a[0], b[0]), max(a[1], b[1])
+        x2, y2 = min(a[2], b[2]), min(a[3], b[3])
+        inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+        ua = ((a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1])
+              - inter)
+        return inter / ua if ua > 0 else 0.0
+
+    order = np.argsort(-scores)
+    kept = []
+    for i in order:
+        if all(iou(boxes[i], boxes[j]) <= 0.5 for j in kept):
+            kept.append(i)
+    expected = np.zeros(20, bool)
+    expected[kept] = True
+    np.testing.assert_array_equal(keep, expected)
+
+
+def test_mtcnn_cascade_shapes():
+    det = MTCNN(image_size=(96, 96), max_proposals=64, max_refined=16,
+                max_faces=4)
+    params = det.init(jax.random.PRNGKey(0))
+    img = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (96, 96, 3)).astype(np.uint8))
+    boxes, scores, valid = jax.jit(lambda im: det.detect(params, im))(img)
+    assert boxes.shape == (4, 4)
+    assert scores.shape == (4,)
+    assert valid.dtype == jnp.bool_
+    assert len(det.scales) >= 3  # pyramid has multiple levels
+
+
+def test_prepare_cli_video_layout(test_video, tmp_path):
+    from deepfake_video_detection_tpu.data.prepare import main
+
+    out = tmp_path / "faces"
+    rc = main(["--data_dir", os.path.dirname(test_video),
+               "--out_dir", str(out), "--sample_rate", "5",
+               "--max_frames", "4", "--size", "32", "--detector", "center"])
+    assert rc == 0
+    files = list(out.glob("*.npz"))
+    assert len(files) == 1 and "fake" in files[0].name
+    z = np.load(files[0])
+    assert z["faces"].shape == (4, 32, 32, 3)
+    assert int(z["label"]) == 1
+
+
+def test_prepare_cli_flat_frames_layout(tmp_path):
+    from PIL import Image
+
+    from deepfake_video_detection_tpu.data.prepare import main
+
+    src = tmp_path / "flat"
+    src.mkdir()
+    rng = np.random.default_rng(0)
+    for vid in ("vidA", "vidB"):
+        for fr in range(3):
+            arr = rng.integers(0, 255, (48, 48, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(src / f"{vid}_{fr:03d}_0.png")
+    csvp = tmp_path / "labels.csv"
+    csvp.write_text("filename,label\nvidA,fake\nvidB,real\n")
+    out = tmp_path / "out"
+    rc = main(["--data_dir", str(src), "--out_dir", str(out),
+               "--labels_csv", str(csvp), "--frames-are-faces"])
+    assert rc == 0
+    names = sorted(f.name for f in out.glob("*.npz"))
+    assert names == ["vidA_fake.npz", "vidB_real.npz"]
+
+
+def test_prepare_cli_frame_folders_layout(tmp_path):
+    from PIL import Image
+
+    from deepfake_video_detection_tpu.data.prepare import main
+
+    src = tmp_path / "folders"
+    for name in ("clip1_real", "clip2_fake"):
+        d = src / name
+        d.mkdir(parents=True)
+        for fr in range(2):
+            arr = np.full((40, 40, 3), fr * 100, np.uint8)
+            Image.fromarray(arr).save(d / f"frame{fr}.png")
+    out = tmp_path / "out"
+    rc = main(["--data_dir", str(src), "--out_dir", str(out),
+               "--detector", "center", "--size", "24"])
+    assert rc == 0
+    names = sorted(f.name for f in out.glob("*.npz"))
+    assert names == ["clip1_real_real.npz", "clip2_fake_fake.npz"]
