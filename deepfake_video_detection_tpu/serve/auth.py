@@ -1,0 +1,171 @@
+"""Auth + per-user storage for the web app.
+
+Capability parity with the reference's auth stack (``app.py:1008-1120,
+2504-2621, 2880-2918``): Firebase Identity Toolkit signup/login via REST
+(gated on ``FIREBASE_API_KEY``; dormant in a zero-egress image) with a local
+``users.json`` fallback, per-user uploads DB (local JSON standing in for the
+Firebase RTDB), and per-user secrets (Gemini key, phone) in ``secrets.json``.
+
+Deliberate improvement over the reference: local passwords are stored as
+salted PBKDF2-SHA256, not plaintext (``app.py:2541-2563`` stores plaintext).
+Legacy plaintext entries are still accepted and upgraded on first login.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+import json
+import os
+import secrets as _secrets
+import threading
+import urllib.request
+from typing import Any, Dict, List, Optional
+
+from deepfake_video_detection_tpu.utils.config import env_str
+
+_LOCK = threading.Lock()
+
+
+def _read_json(path: str, default):
+    try:
+        with open(path, encoding="utf-8") as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return default
+
+
+def _write_json(path: str, data) -> None:
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(data, f, indent=2)
+    os.replace(tmp, path)
+
+
+def _hash_password(password: str, salt: Optional[str] = None) -> str:
+    salt = salt or _secrets.token_hex(16)
+    digest = hashlib.pbkdf2_hmac("sha256", password.encode(), bytes.fromhex(salt),
+                                 100_000).hex()
+    return f"pbkdf2${salt}${digest}"
+
+
+def _verify_password(password: str, stored: str) -> bool:
+    if stored.startswith("pbkdf2$"):
+        _, salt, digest = stored.split("$", 2)
+        want = _hash_password(password, salt).split("$", 2)[2]
+        return hmac.compare_digest(want, digest)
+    # legacy plaintext or bare sha256
+    if hmac.compare_digest(stored, password):
+        return True
+    return hmac.compare_digest(stored,
+                               hashlib.sha256(password.encode()).hexdigest())
+
+
+class AuthStore:
+    def __init__(self, data_dir: str = "data/app"):
+        self.data_dir = data_dir
+        self.users_path = os.path.join(data_dir, "users.json")
+        self.uploads_path = os.path.join(data_dir, "uploads.json")
+        self.secrets_path = os.path.join(data_dir, "secrets.json")
+        self.sessions: Dict[str, str] = {}  # token → email
+
+    # -- firebase REST (gated) ------------------------------------------------
+
+    def _firebase_request(self, endpoint: str, email: str,
+                          password: str) -> Optional[Dict[str, Any]]:
+        """≙ ``_firebase_request`` (``app.py:1021-1039``)."""
+        api_key = env_str("FIREBASE_API_KEY")
+        if not api_key:
+            return None
+        url = (f"https://identitytoolkit.googleapis.com/v1/accounts:"
+               f"{endpoint}?key={api_key}")
+        body = json.dumps({"email": email, "password": password,
+                           "returnSecureToken": True}).encode()
+        req = urllib.request.Request(
+            url, data=body, headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=15) as r:
+                return json.loads(r.read().decode())
+        except Exception:
+            return None
+
+    # -- signup / login -------------------------------------------------------
+
+    def signup(self, email: str, password: str) -> Optional[str]:
+        """Returns a session token, or None on failure."""
+        email = email.strip().lower()
+        if not email or not password:
+            return None
+        fb = self._firebase_request("signUp", email, password)
+        if fb is None:
+            with _LOCK:
+                users = _read_json(self.users_path, {})
+                if email in users:
+                    return None
+                users[email] = {"password": _hash_password(password)}
+                _write_json(self.users_path, users)
+        return self._new_session(email)
+
+    def login(self, email: str, password: str) -> Optional[str]:
+        email = email.strip().lower()
+        fb = self._firebase_request("signInWithPassword", email, password)
+        if fb is not None and "idToken" in fb:
+            return self._new_session(email)
+        with _LOCK:
+            users = _read_json(self.users_path, {})
+            rec = users.get(email)
+            if rec is None:
+                return None
+            stored = rec["password"] if isinstance(rec, dict) else str(rec)
+            if not _verify_password(password, stored):
+                return None
+            if not stored.startswith("pbkdf2$"):  # upgrade legacy entries
+                users[email] = {"password": _hash_password(password)}
+                _write_json(self.users_path, users)
+        return self._new_session(email)
+
+    def _new_session(self, email: str) -> str:
+        token = _secrets.token_urlsafe(32)
+        self.sessions[token] = email
+        return token
+
+    def user_for_token(self, token: Optional[str]) -> Optional[str]:
+        if not token:
+            return None
+        return self.sessions.get(token)
+
+    def logout(self, token: Optional[str]) -> None:
+        if token:
+            self.sessions.pop(token, None)
+
+    # -- uploads DB (local stand-in for Firebase RTDB) -----------------------
+
+    def list_uploads(self, email: str) -> List[Dict[str, Any]]:
+        db = _read_json(self.uploads_path, {})
+        return db.get(email, [])
+
+    def add_upload(self, email: str, record: Dict[str, Any]) -> None:
+        with _LOCK:
+            db = _read_json(self.uploads_path, {})
+            db.setdefault(email, []).append(record)
+            _write_json(self.uploads_path, db)
+
+    def get_upload(self, email: str, upload_id: str) -> Optional[Dict[str, Any]]:
+        for rec in self.list_uploads(email):
+            if rec.get("id") == upload_id:
+                return rec
+        return None
+
+    # -- per-user secrets ------------------------------------------------------
+
+    def get_secrets(self, email: str) -> Dict[str, Any]:
+        return _read_json(self.secrets_path, {}).get(email, {})
+
+    def set_secrets(self, email: str, values: Dict[str, Any]) -> None:
+        with _LOCK:
+            db = _read_json(self.secrets_path, {})
+            db.setdefault(email, {}).update(values)
+            _write_json(self.secrets_path, db)

@@ -1,0 +1,385 @@
+"""Serving inference engine: ``predict_video`` with the reference's exact
+result-dict schema and decision policy.
+
+Capability parity with ``predict_video`` (``app.py:2027-2321``):
+
+* pretrained/ensemble path — extract ≤ ``MAX_FRAMES`` faces, ``MIN_FACES``
+  gate → abstain; normalize; one jitted forward; threshold from
+  ``calibration_best.json`` / ``DETECT_FAKE_THRESHOLD`` / 0.5 with the
+  extreme-threshold guard (``:2096-2110``); optional EnhancedDecisionAgent
+  over per-member logits with std-uncertainty (``:2119-2171``);
+  borderline-margin and low-confidence abstains (``:2173-2210``);
+* legacy path — pad/sample to 16 frames, chain adjacency for ``vit_gcn`` or
+  plain forward for ``cnn_lstm`` (``:2225-2256``).
+
+Result keys: prediction, verdict_yes_no, description, pred_class, confidence,
+prob_real, prob_fake, num_faces, threshold, enhanced_agent, abstained.
+
+TPU-native: the forward (normalize + backbone + head, and member forwards
+for the agent) is ONE jitted program; the face pipeline feeds device-resident
+uint8; host code only applies thresholds to the tiny prob vector.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from deepfake_video_detection_tpu.data.dataset import pad_or_sample_frames
+from deepfake_video_detection_tpu.data.faces import FaceExtractor
+from deepfake_video_detection_tpu.utils.config import env_float, env_int, env_bool, env_str
+from deepfake_video_detection_tpu.utils.graph import chain_adjacency, normalize_adjacency
+
+
+def _get_fake_class_index(num_classes: int = 2) -> int:
+    idx = env_int("FAKE_CLASS_INDEX", 1)
+    return idx if idx in (0, 1) and num_classes == 2 else (1 if num_classes == 2 else 0)
+
+
+def load_calibration_threshold(checkpoint_path: Optional[str]) -> Optional[float]:
+    """``calibration_best.json`` next to the checkpoint
+    (≙ ``_load_calibration_threshold``, ``app.py:1783-1799``)."""
+    if not checkpoint_path:
+        return None
+    cal = os.path.join(os.path.dirname(checkpoint_path), "calibration_best.json")
+    if not os.path.exists(cal):
+        return None
+    try:
+        with open(cal) as f:
+            data = json.load(f)
+        thr = data.get("best_thr_accuracy", data.get("best_thr_f1"))
+        return float(thr) if thr is not None else None
+    except (OSError, ValueError):
+        return None
+
+
+def _detection_threshold(default: float) -> float:
+    return env_float("DETECT_FAKE_THRESHOLD", default)
+
+
+class Predictor:
+    """Holds the loaded model + jitted forwards; thread-safe for reads."""
+
+    def __init__(self, model: Any, variables: Dict[str, Any], model_type: str,
+                 checkpoint_path: Optional[str] = None,
+                 enhanced_agent: Optional[Any] = None,
+                 extractor: Optional[FaceExtractor] = None):
+        import jax
+        import jax.numpy as jnp
+
+        from deepfake_video_detection_tpu.data.normalize import imagenet_normalize
+
+        self.model = model
+        self.model_type = model_type
+        self.checkpoint_path = checkpoint_path
+        self.enhanced_agent = enhanced_agent
+        self.extractor = extractor or FaceExtractor()
+        self._variables = jax.device_put(variables)
+
+        is_ensemble = model_type == "ensemble_pretrained" or hasattr(model, "members")
+
+        if model_type in ("pretrained", "ensemble_pretrained"):
+            if is_ensemble:
+                @jax.jit
+                def fwd(v, frames_u8):
+                    x = imagenet_normalize(frames_u8)
+                    (logits, scores, member_logits), _ = self.model.apply(
+                        v, x, train=False, return_member_logits=True)
+                    return (jax.nn.softmax(logits.astype(jnp.float32), axis=-1),
+                            logits, scores, member_logits)
+            else:
+                @jax.jit
+                def fwd(v, frames_u8):
+                    x = imagenet_normalize(frames_u8)
+                    (logits, scores), _ = self.model.apply(v, x, train=False)
+                    return (jax.nn.softmax(logits.astype(jnp.float32), axis=-1),
+                            logits, scores, None)
+            self._forward = fwd
+        elif model_type == "cnn_lstm":
+            @jax.jit
+            def fwd(v, frames_u8):
+                # legacy models trained on [0,1] frames (no ImageNet stats)
+                x = frames_u8.astype(jnp.float32) / 255.0
+                logits, _ = self.model.apply(v, x, train=False)
+                return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            self._forward = fwd
+        else:  # vit_gcn
+            @jax.jit
+            def fwd(v, frames_u8, A):
+                x = frames_u8.astype(jnp.float32) / 255.0
+                logits, _ = self.model.apply(v, x, A, train=False)
+                return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            self._forward = fwd
+
+    # ------------------------------------------------------------------
+
+    def predict_video(self, video_path: str) -> Dict[str, Any]:
+        try:
+            return self._predict(video_path)
+        except Exception as e:  # the route must always get a dict
+            return {"error": str(e)}
+
+    def predict_faces(self, faces: np.ndarray,
+                      video_id: str = "video") -> Dict[str, Any]:
+        """Run the decision policy on pre-extracted face crops."""
+        if self.model_type in ("pretrained", "ensemble_pretrained"):
+            return self._predict_pretrained(faces, video_id)
+        return self._predict_legacy(faces)
+
+    # ------------------------------------------------------------------
+
+    def _predict(self, video_path: str) -> Dict[str, Any]:
+        abstain_conf = env_float("DETECT_ABSTAIN_CONF", 0.60)
+        if self.model_type in ("pretrained", "ensemble_pretrained"):
+            max_frames = max(1, min(64, env_int("MAX_FRAMES", 8)))
+            faces = self.extractor.extract_from_video(video_path,
+                                                      max_frames=max_frames)
+            if faces.shape[0] == 0:
+                return {"error": "No faces detected in video"}
+            return self._predict_pretrained(faces, os.path.basename(video_path))
+        faces = self.extractor.extract_from_video(video_path)
+        if faces.shape[0] == 0:
+            return {"error": "No faces detected in video"}
+        return self._predict_legacy(faces)
+
+    def _predict_pretrained(self, faces: np.ndarray, video_id: str) -> Dict[str, Any]:
+        import jax.numpy as jnp
+
+        abstain_conf = env_float("DETECT_ABSTAIN_CONF", 0.60)
+        abstain_margin = max(0.0, min(0.5, env_float("DETECT_ABSTAIN_MARGIN", 0.0)))
+        num_faces = int(faces.shape[0])
+        min_faces = max(1, env_int("MIN_FACES", 2))
+        if num_faces < min_faces:
+            return {
+                "prediction": "Uncertain", "verdict_yes_no": "Unsure",
+                "description": (
+                    f"Not enough faces/frames detected for a stable decision "
+                    f"(num_faces={num_faces}, min_faces={min_faces}). Try a "
+                    f"clearer face shot, better lighting, or a longer clip."),
+                "pred_class": None, "confidence": None, "prob_real": None,
+                "prob_fake": None, "num_faces": num_faces, "abstained": True,
+            }
+
+        probs, logits, frame_scores, member_logits = self._forward(
+            self._variables, jnp.asarray(faces)[None])
+        probs = np.asarray(probs)[0]
+        fake_idx = _get_fake_class_index(probs.shape[0])
+        real_idx = 1 - fake_idx if probs.shape[0] == 2 else 0
+        prob_fake = float(probs[fake_idx])
+        prob_real = float(probs[real_idx])
+
+        thr = load_calibration_threshold(self.checkpoint_path)
+        thr = 0.5 if thr is None else float(thr)
+        thr = float(_detection_threshold(thr))
+        if not env_bool("ALLOW_EXTREME_CALIBRATION_THRESHOLD") and \
+                (thr < 0.05 or thr > 0.95):
+            thr = 0.5
+        is_fake = prob_fake >= thr
+        pred_class = 1 if is_fake else 0
+        confidence = prob_fake if is_fake else prob_real
+        description = (f"Ensemble pretrained detector (thr={thr:.2f})"
+                       if self.model_type == "ensemble_pretrained"
+                       else f"Pretrained detector (thr={thr:.2f})")
+
+        agent_payload = None
+        if (not env_bool("DISABLE_ENHANCED_AGENT")
+                and self.enhanced_agent is not None
+                and member_logits is not None):
+            member_np = np.asarray(member_logits)[:, 0]  # (M, C)
+            x = member_np - member_np.max(-1, keepdims=True)
+            member_probs = np.exp(x) / np.exp(x).sum(-1, keepdims=True)
+            ind = member_probs[:, fake_idx]
+            uncertainty = float(np.std(ind)) if ind.shape[0] >= 2 else 0.0
+            old_thr = self.enhanced_agent.decision_threshold
+            try:
+                self.enhanced_agent.decision_threshold = thr
+                self.enhanced_agent.fake_class_index = fake_idx
+                pred = self.enhanced_agent.process_ensemble_output(
+                    np.asarray(logits)[0], list(member_np),
+                    np.asarray(frame_scores)[0], video_id, uncertainty)
+                agent_payload = {
+                    "is_fake": bool(pred.is_fake) if pred.is_fake is not None else None,
+                    "ensemble_prob": float(pred.ensemble_prob),
+                    "confidence": float(pred.confidence),
+                    "alert_level": pred.alert_level.name,
+                    "uncertainty": float(pred.uncertainty),
+                    "explanation": pred.explanation,
+                }
+                description = agent_payload["explanation"] or description
+                if pred.is_fake is not None:
+                    pred_class = int(pred.is_fake)
+                confidence = float(agent_payload["confidence"])
+            except Exception:
+                agent_payload = None
+            finally:
+                self.enhanced_agent.decision_threshold = old_thr
+
+        base = {"prob_real": prob_real, "prob_fake": prob_fake,
+                "num_faces": num_faces, "threshold": thr,
+                "enhanced_agent": agent_payload}
+        if abstain_margin > 0.0 and abs(prob_fake - thr) <= abstain_margin:
+            return {
+                "prediction": "Uncertain", "verdict_yes_no": "Unsure",
+                "description": (
+                    f"Borderline score (prob_fake={prob_fake * 100:.1f}%, "
+                    f"thr={thr:.2f} ± {abstain_margin:.2f}). Manual review "
+                    f"recommended.\n\n" + description),
+                "pred_class": None, "confidence": float(confidence),
+                "abstained": True, **base,
+            }
+        if confidence < abstain_conf:
+            return {
+                "prediction": "Uncertain", "verdict_yes_no": "Unsure",
+                "description": (
+                    f"Low confidence ({confidence * 100:.1f}%). This video may "
+                    f"be out-of-domain (different compression, face quality, "
+                    f"lighting, or manipulation type). Manual review "
+                    f"recommended.\n\n" + description),
+                "pred_class": None, "confidence": float(confidence),
+                "abstained": True, **base,
+            }
+        return {
+            "prediction": "Deepfake" if pred_class == 1 else "Real",
+            "verdict_yes_no": "Yes" if pred_class == 1 else "No",
+            "description": description, "pred_class": pred_class,
+            "confidence": float(confidence), **base,
+        }
+
+    def _predict_legacy(self, faces: np.ndarray) -> Dict[str, Any]:
+        import jax.numpy as jnp
+
+        abstain_conf = env_float("DETECT_ABSTAIN_CONF", 0.60)
+        abstain_margin = max(0.0, min(0.5, env_float("DETECT_ABSTAIN_MARGIN", 0.0)))
+        num_faces = int(faces.shape[0])
+        faces = pad_or_sample_frames(faces, 16)
+
+        if self.model_type == "cnn_lstm":
+            probs = self._forward(self._variables, jnp.asarray(faces)[None])
+        else:
+            A = normalize_adjacency(chain_adjacency(16))
+            probs = self._forward(self._variables, jnp.asarray(faces)[None],
+                                  jnp.asarray(A)[None])
+        probs = np.asarray(probs)[0]
+        fake_idx = _get_fake_class_index(probs.shape[0])
+        real_idx = 1 - fake_idx if probs.shape[0] == 2 else 0
+        prob_fake = float(probs[fake_idx])
+        prob_real = float(probs[real_idx])
+        thr = float(_detection_threshold(0.5))
+        is_fake = prob_fake >= thr
+        pred_class = 1 if is_fake else 0
+        confidence = prob_fake if is_fake else prob_real
+
+        if abstain_margin > 0.0 and abs(prob_fake - thr) <= abstain_margin:
+            return {"prediction": "Uncertain", "verdict_yes_no": "Unsure",
+                    "description": (
+                        f"Borderline score (prob_fake={prob_fake * 100:.1f}%, "
+                        f"thr={thr:.2f} ± {abstain_margin:.2f}). Manual review "
+                        f"recommended."),
+                    "pred_class": None, "confidence": float(confidence),
+                    "prob_real": prob_real, "prob_fake": prob_fake,
+                    "num_faces": num_faces, "threshold": thr, "abstained": True}
+        if confidence < abstain_conf:
+            return {"prediction": "Uncertain", "verdict_yes_no": "Unsure",
+                    "description": (
+                        f"Low confidence ({confidence * 100:.1f}%). This video "
+                        f"may be out-of-domain. Manual review recommended."),
+                    "pred_class": None, "confidence": float(confidence),
+                    "prob_real": prob_real, "prob_fake": prob_fake,
+                    "num_faces": num_faces, "abstained": True}
+        return {
+            "prediction": "Deepfake" if pred_class == 1 else "Real",
+            "verdict_yes_no": "Yes" if pred_class == 1 else "No",
+            "description": ("Detected indicators of synthetic manipulation in "
+                            "facial frames." if pred_class == 1 else
+                            "No strong signs of manipulation detected; appears "
+                            "authentic."),
+            "pred_class": pred_class, "confidence": float(confidence),
+            "prob_real": prob_real, "prob_fake": prob_fake,
+            "num_faces": num_faces, "threshold": thr,
+        }
+
+
+# ---------------------------------------------------------------------------
+# human-readable messaging (≙ app.py:2324-2460)
+# ---------------------------------------------------------------------------
+
+
+def simple_english_message(result: Optional[Dict[str, Any]],
+                           filename: Optional[str] = None) -> str:
+    """≙ ``_simple_english_message`` (``app.py:2324``)."""
+    if not isinstance(result, dict):
+        return "Sorry, I could not check this video."
+    if result.get("error"):
+        return f"Sorry, I could not check this video. Error: {result['error']}"
+    name = f" for {filename}" if filename else ""
+    if result.get("abstained"):
+        return (f"I am not sure about this video{name}. "
+                f"Please try a clearer or longer clip.")
+    if result.get("pred_class") == 1:
+        conf = result.get("confidence")
+        pct = f" I am {conf * 100:.0f}% sure." if isinstance(conf, float) else ""
+        return f"This video{name} looks FAKE.{pct}"
+    conf = result.get("confidence")
+    pct = f" I am {conf * 100:.0f}% sure." if isinstance(conf, float) else ""
+    return f"This video{name} looks REAL.{pct}"
+
+
+def ensure_exact_word_count(text: str, target: int = 200) -> str:
+    """Pad/trim to exactly ``target`` words (≙ ``_ensure_exact_word_count``,
+    ``app.py:2378``)."""
+    words = text.split()
+    if len(words) > target:
+        return " ".join(words[:target])
+    filler = ("Please review the result carefully and use your own judgment "
+              "when sharing this video with other people online.").split()
+    i = 0
+    while len(words) < target:
+        words.append(filler[i % len(filler)])
+        i += 1
+    return " ".join(words)
+
+
+def simple_english_justification_200_words(result: Dict[str, Any],
+                                           filename: str = "") -> str:
+    """≙ ``_simple_english_justification_200_words`` (``app.py:2414``)."""
+    verdict = result.get("prediction", "Uncertain")
+    conf = result.get("confidence")
+    prob_fake = result.get("prob_fake")
+    num_faces = result.get("num_faces", 0)
+    parts = [
+        f"We checked the video {filename} with our deepfake detector.",
+        f"The final verdict is: {verdict}.",
+    ]
+    if isinstance(conf, float):
+        parts.append(f"The system is about {conf * 100:.0f} percent confident "
+                     f"in this verdict.")
+    if isinstance(prob_fake, float):
+        parts.append(f"The model gave a fake probability of "
+                     f"{prob_fake * 100:.0f} percent.")
+    parts.append(f"We looked at {num_faces} face pictures taken from different "
+                 f"moments of the video.")
+    parts.append("The detector studies each face for small signs that editing "
+                 "tools leave behind, like strange skin texture, blurry edges "
+                 "around the face, odd lighting, or eyes and teeth that do not "
+                 "look natural.")
+    parts.append("It also compares the faces across time, because fake videos "
+                 "often flicker or change in ways real videos do not.")
+    if result.get("abstained"):
+        parts.append("This time the system was not sure enough to give a firm "
+                     "answer, so it chose to say it is uncertain instead of "
+                     "guessing.")
+        parts.append("A clearer video with a bigger, brighter face would help "
+                     "it decide.")
+    elif result.get("pred_class") == 1:
+        parts.append("The signs of editing were strong enough for the system "
+                     "to call this video fake.")
+        parts.append("Be careful before trusting or sharing it.")
+    else:
+        parts.append("The system did not find strong signs of editing, so the "
+                     "video looks real to it.")
+        parts.append("Remember that no detector is perfect, so stay careful "
+                     "online.")
+    return ensure_exact_word_count(" ".join(parts), 200)

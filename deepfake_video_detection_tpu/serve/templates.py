@@ -1,0 +1,219 @@
+"""HTML templates for the web UI, rendered server-side with str.format.
+
+Covers the reference's template surface (SURVEY.md §2.5: ``ui.html``,
+``dashboard.html``, ``result.html``, ``ui_results.html``,
+``ui_processing.html``, ``login/signup/about``) as compact framework-free
+pages: multi-file upload posting to ``/results``, a processing page polling
+``/api/ui-job/<id>`` every 1.5 s, a results page with the typed justification,
+a dashboard with upload history + chat, and auth forms. Styling is a single
+embedded stylesheet (the reference ships ~630 lines of CSS + a canvas
+starfield; the equivalent visual chrome here is minimal by design).
+"""
+
+from __future__ import annotations
+
+import html
+import json
+from typing import Any, Dict, List, Optional
+
+_STYLE = """
+:root { color-scheme: dark; }
+* { box-sizing: border-box; }
+body { margin: 0; font-family: system-ui, sans-serif; background: #0b0f1a;
+       color: #e6e9f0; min-height: 100vh; }
+a { color: #7aa2ff; text-decoration: none; }
+nav { display: flex; gap: 1rem; padding: 1rem 2rem; background: #101627;
+      align-items: center; }
+nav .brand { font-weight: 700; color: #fff; margin-right: auto; }
+main { max-width: 880px; margin: 2rem auto; padding: 0 1rem; }
+.card { background: #131a2e; border: 1px solid #232d4a; border-radius: 12px;
+        padding: 1.5rem; margin-bottom: 1.25rem; }
+h1, h2 { margin-top: 0; }
+input, button, textarea { font: inherit; border-radius: 8px; }
+input[type=text], input[type=email], input[type=password], textarea {
+  width: 100%; padding: .6rem .8rem; background: #0d1322; color: #e6e9f0;
+  border: 1px solid #2c365e; }
+button { background: #3b5bdb; color: #fff; border: 0; padding: .65rem 1.4rem;
+         cursor: pointer; }
+button:hover { background: #4c6ef5; }
+.verdict-fake { color: #ff6b6b; font-weight: 700; }
+.verdict-real { color: #51cf66; font-weight: 700; }
+.verdict-unsure { color: #fcc419; font-weight: 700; }
+table { width: 100%; border-collapse: collapse; }
+td, th { padding: .45rem .6rem; border-bottom: 1px solid #232d4a;
+         text-align: left; }
+.muted { color: #8b93a7; font-size: .9rem; }
+pre { white-space: pre-wrap; }
+.chat-log { max-height: 280px; overflow-y: auto; }
+.chat-msg-user { color: #7aa2ff; }
+.chat-msg-bot { color: #d3d7e3; }
+"""
+
+
+def _page(title: str, body: str, user: Optional[str] = None,
+          extra_head: str = "") -> str:
+    user_nav = (f'<span class="muted">{html.escape(user)}</span> '
+                f'<a href="/logout">Logout</a>' if user else
+                '<a href="/login">Login</a> <a href="/signup">Sign up</a>')
+    return f"""<!doctype html>
+<html lang="en"><head><meta charset="utf-8">
+<meta name="viewport" content="width=device-width, initial-scale=1">
+<title>{html.escape(title)} · Deepfake Video Detection</title>
+<style>{_STYLE}</style>{extra_head}</head>
+<body>
+<nav><a class="brand" href="/">Deepfake Detector</a>
+<a href="/ui">Analyze</a><a href="/dashboard">Dashboard</a>
+<a href="/about">About</a>{user_nav}</nav>
+<main>{body}</main>
+</body></html>"""
+
+
+def index_page(user: Optional[str]) -> str:
+    return _page("Home", """
+<div class="card"><h1>Deepfake Video Detection</h1>
+<p>TPU-accelerated detector: upload a video and get a real/fake verdict with
+calibrated confidence, frame-level attention scores, and a plain-English
+explanation.</p>
+<p><a href="/ui"><button>Analyze a video</button></a></p></div>""", user)
+
+
+def about_page(user: Optional[str]) -> str:
+    return _page("About", """
+<div class="card"><h2>About</h2>
+<p>This service samples frames from an uploaded video, crops the faces, and
+runs them through a convolutional backbone compiled for TPUs. A temporal
+attention head fuses per-frame evidence into a single verdict, thresholded by
+a calibration sweep from training. An agent layer adds uncertainty-aware
+alerts, abstention, and monitoring.</p></div>""", user)
+
+
+def ui_page(user: Optional[str]) -> str:
+    return _page("Analyze", """
+<div class="card"><h2>Analyze videos</h2>
+<form action="/results" method="post" enctype="multipart/form-data">
+<p><input type="file" name="videos" accept="video/*" multiple required></p>
+<p><button type="submit">Upload &amp; analyze</button></p>
+</form>
+<p class="muted">Files are processed in a background job; you will be
+redirected to a progress page.</p></div>""", user)
+
+
+def processing_page(job_id: str, user: Optional[str]) -> str:
+    body = f"""
+<div class="card"><h2>Analyzing…</h2>
+<p id="status">Your videos are being processed.</p></div>
+<script>
+async function poll() {{
+  const r = await fetch('/api/ui-job/{html.escape(job_id)}');
+  const j = await r.json();
+  if (j.status === 'done') window.location = '/results?job={html.escape(job_id)}';
+  else if (j.status === 'error')
+    document.getElementById('status').textContent = 'Error: ' + j.error;
+  else setTimeout(poll, 1500);
+}}
+poll();
+</script>"""
+    return _page("Processing", body, user)
+
+
+def _verdict_span(result: Dict[str, Any]) -> str:
+    v = result.get("prediction", "Uncertain")
+    cls = {"Deepfake": "verdict-fake", "Real": "verdict-real"}.get(v, "verdict-unsure")
+    return f'<span class="{cls}">{html.escape(str(v))}</span>'
+
+
+def results_page(items: List[Dict[str, Any]], user: Optional[str]) -> str:
+    cards = []
+    for item in items:
+        result = item.get("result", {})
+        fname = html.escape(item.get("filename", "video"))
+        if result.get("error"):
+            cards.append(f'<div class="card"><h2>{fname}</h2>'
+                         f'<p class="verdict-unsure">Error: '
+                         f'{html.escape(str(result["error"]))}</p></div>')
+            continue
+        conf = result.get("confidence")
+        conf_s = f"{conf * 100:.1f}%" if isinstance(conf, float) else "–"
+        pf = result.get("prob_fake")
+        pf_s = f"{pf * 100:.1f}%" if isinstance(pf, float) else "–"
+        just = html.escape(item.get("justification", ""))
+        msg = html.escape(item.get("message", ""))
+        cards.append(f"""
+<div class="card"><h2>{fname}</h2>
+<p>Verdict: {_verdict_span(result)} &nbsp; <span class="muted">confidence
+{conf_s} · fake prob {pf_s} · faces {result.get("num_faces", "–")}</span></p>
+<p>{msg}</p>
+<details><summary>Full 200-word report</summary><pre id="just">{just}</pre></details>
+<details><summary>Raw result</summary>
+<pre>{html.escape(json.dumps(result, indent=2, default=str))}</pre></details>
+</div>""")
+    body = "".join(cards) or ('<div class="card"><p>No results (the job may '
+                              'have expired — please upload again).</p></div>')
+    body += '<p><a href="/ui"><button>Analyze more</button></a></p>'
+    return _page("Results", body, user)
+
+
+def login_page(user: Optional[str], error: str = "") -> str:
+    err = f'<p class="verdict-fake">{html.escape(error)}</p>' if error else ""
+    return _page("Login", f"""
+<div class="card"><h2>Login</h2>{err}
+<form method="post">
+<p><input type="email" name="email" placeholder="email" required></p>
+<p><input type="password" name="password" placeholder="password" required></p>
+<p><button type="submit">Login</button>
+<a href="/signup" class="muted">need an account?</a></p>
+</form></div>""", user)
+
+
+def signup_page(user: Optional[str], error: str = "") -> str:
+    err = f'<p class="verdict-fake">{html.escape(error)}</p>' if error else ""
+    return _page("Sign up", f"""
+<div class="card"><h2>Sign up</h2>{err}
+<form method="post">
+<p><input type="email" name="email" placeholder="email" required></p>
+<p><input type="password" name="password" placeholder="password" required></p>
+<p><button type="submit">Create account</button></p>
+</form></div>""", user)
+
+
+def dashboard_page(user: Optional[str], uploads: List[Dict[str, Any]]) -> str:
+    rows = "".join(
+        f"<tr><td><a href='/result/{html.escape(str(u.get('id', '')))}'>"
+        f"{html.escape(str(u.get('filename', '?')))}</a></td>"
+        f"<td>{html.escape(str(u.get('verdict', '?')))}</td>"
+        f"<td class='muted'>{html.escape(str(u.get('ts', '')))}</td></tr>"
+        for u in reversed(uploads[-50:]))
+    table = (f"<table><tr><th>File</th><th>Verdict</th><th>When</th></tr>"
+             f"{rows}</table>" if rows else
+             '<p class="muted">No uploads yet.</p>')
+    body = f"""
+<div class="card"><h2>Upload history</h2>{table}</div>
+<div class="card"><h2>Chat</h2>
+<div class="chat-log" id="log"></div>
+<p><input type="text" id="msg" placeholder="Ask about your results…">
+<button onclick="send()">Send</button></p></div>
+<script>
+async function send() {{
+  const m = document.getElementById('msg').value;
+  if (!m) return;
+  const log = document.getElementById('log');
+  log.innerHTML += '<p class="chat-msg-user">You: ' + m + '</p>';
+  document.getElementById('msg').value = '';
+  const r = await fetch('/api/chat', {{method: 'POST',
+    headers: {{'Content-Type': 'application/json'}},
+    body: JSON.stringify({{message: m}})}});
+  const j = await r.json();
+  log.innerHTML += '<p class="chat-msg-bot">Bot: ' + (j.reply || j.error) + '</p>';
+  log.scrollTop = log.scrollHeight;
+}}
+</script>"""
+    return _page("Dashboard", body, user)
+
+
+def result_page(user: Optional[str], record: Dict[str, Any]) -> str:
+    result = record.get("result", {})
+    return results_page([{"filename": record.get("filename", "video"),
+                          "result": result,
+                          "message": record.get("message", ""),
+                          "justification": record.get("justification", "")}],
+                        user)

@@ -1,0 +1,215 @@
+"""Serving-stack integration tests: WSGI routes, auth flow, model
+load/predict, async job flow, chat, metrics — all through the app callable."""
+
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from deepfake_video_detection_tpu.checkpoint.store import save_checkpoint
+from deepfake_video_detection_tpu.data.video import encode_video
+from deepfake_video_detection_tpu.models.cnn_lstm import CNNLSTMHybrid
+from deepfake_video_detection_tpu.serve.app import App, get_training_metrics
+
+
+def call(app, method, path, body=b"", content_type="", cookies=None,
+         query=""):
+    environ = {
+        "REQUEST_METHOD": method,
+        "PATH_INFO": path,
+        "QUERY_STRING": query,
+        "CONTENT_LENGTH": str(len(body)),
+        "CONTENT_TYPE": content_type,
+        "wsgi.input": io.BytesIO(body),
+    }
+    if cookies:
+        environ["HTTP_COOKIE"] = "; ".join(f"{k}={v}" for k, v in cookies.items())
+    captured = {}
+
+    def start_response(status, headers):
+        captured["status"] = int(status.split()[0])
+        captured["headers"] = headers
+
+    chunks = app(environ, start_response)
+    body_out = b"".join(chunks)
+    return captured["status"], dict(captured["headers"]), body_out
+
+
+def multipart(field, filename, content):
+    boundary = "testboundary123"
+    body = (f"--{boundary}\r\nContent-Disposition: form-data; "
+            f'name="{field}"; filename="{filename}"\r\n'
+            f"Content-Type: application/octet-stream\r\n\r\n").encode()
+    body += content + f"\r\n--{boundary}--\r\n".encode()
+    return body, f"multipart/form-data; boundary={boundary}"
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve")
+    os.environ["FACE_SIZE"] = "32"
+    os.environ["DETECT_ABSTAIN_CONF"] = "0.0"
+    os.environ["FACE_DETECTOR"] = "center"
+    # small cnn_lstm checkpoint in native format
+    model = CNNLSTMHybrid()
+    variables = model.init(jax.random.PRNGKey(0))
+    ckpt = root / "ckpts" / "checkpoint_best.npz"
+    save_checkpoint(str(ckpt), variables,
+                    meta={"model_config": {"model_type": "cnn_lstm"}})
+    # a real video file
+    vid = root / "clip.avi"
+    frames = np.stack([np.full((48, 48, 3), 30 * (i % 8), np.uint8)
+                       for i in range(12)])
+    encode_video(str(vid), frames, fps=8)
+    app = App(autoload=False,
+              upload_dir=str(root / "uploads"),
+              data_dir=str(root / "data"),
+              log_root=str(root / "logs"),
+              checkpoints_root=str(root / "ckpts"))
+    yield app, str(ckpt), str(vid)
+    os.environ.pop("FACE_SIZE", None)
+    os.environ.pop("DETECT_ABSTAIN_CONF", None)
+    os.environ.pop("FACE_DETECTOR", None)
+
+
+def test_health_and_pages(served):
+    app, _, _ = served
+    status, _, body = call(app, "GET", "/health")
+    assert status == 200 and json.loads(body)["status"] == "ok"
+    for path in ("/", "/ui", "/about", "/login", "/signup", "/dashboard"):
+        status, _, body = call(app, "GET", path)
+        assert status == 200 and b"Deepfake" in body
+    status, _, _ = call(app, "GET", "/definitely-missing")
+    assert status == 404
+
+
+def test_auth_flow(served):
+    app, _, _ = served
+    form = b"email=user%40example.com&password=hunter22"
+    ct = "application/x-www-form-urlencoded"
+    status, headers, _ = call(app, "POST", "/signup", form, ct)
+    assert status == 302
+    cookie = headers["Set-Cookie"].split(";")[0]
+    token = cookie.split("=", 1)[1]
+    # duplicate signup fails
+    status, _, body = call(app, "POST", "/signup", form, ct)
+    assert b"Could not create account" in body
+    # wrong password fails
+    status, _, body = call(app, "POST", "/login",
+                           b"email=user%40example.com&password=wrong", ct)
+    assert b"Invalid" in body
+    # correct login works
+    status, headers, _ = call(app, "POST", "/login", form, ct)
+    assert status == 302
+    # authed API
+    status, _, body = call(app, "GET", "/api/uploads",
+                           cookies={"session": token})
+    assert status == 200 and json.loads(body)["uploads"] == []
+    # unauthenticated API rejected
+    status, _, _ = call(app, "GET", "/api/uploads")
+    assert status == 401
+
+
+def test_load_model_and_predict(served):
+    app, ckpt, vid = served
+    status, _, body = call(app, "POST", "/api/load-model",
+                           json.dumps({"path": ckpt}).encode(),
+                           "application/json")
+    assert status == 200, body
+    stats = json.loads(body)["stats"]
+    assert stats["model_type"] == "cnn_lstm"
+    assert stats["match_ratio"] >= 0.99
+
+    status, _, body = call(app, "GET", "/api/model-info")
+    info = json.loads(body)
+    assert info["loaded"] is True and info["model_type"] == "cnn_lstm"
+
+    # api predict by path
+    status, _, body = call(app, "POST", "/api/predict",
+                           json.dumps({"path": vid}).encode(),
+                           "application/json")
+    assert status == 200
+    result = json.loads(body)
+    assert result.get("prediction") in ("Deepfake", "Real", "Uncertain")
+    assert "prob_fake" in result and result["num_faces"] >= 1
+
+    # api predict by upload
+    content = open(vid, "rb").read()
+    body_mp, ct = multipart("video", "clip.avi", content)
+    status, _, body = call(app, "POST", "/api/predict", body_mp, ct)
+    assert status == 200 and json.loads(body).get("prediction")
+
+
+def test_async_results_flow(served):
+    app, ckpt, vid = served
+    call(app, "POST", "/api/load-model",
+         json.dumps({"path": ckpt}).encode(), "application/json")
+    content = open(vid, "rb").read()
+    body_mp, ct = multipart("videos", "clip_fake.avi", content)
+    status, headers, _ = call(app, "POST", "/results", body_mp, ct)
+    assert status == 302
+    job_id = headers["Location"].split("job=")[1]
+    # poll until done
+    import time
+    for _ in range(100):
+        status, _, body = call(app, "GET", f"/api/ui-job/{job_id}")
+        st = json.loads(body)["status"]
+        if st == "done":
+            break
+        time.sleep(0.1)
+    assert st == "done"
+    status, _, body = call(app, "GET", "/results", query=f"job={job_id}")
+    assert status == 200
+    assert b"clip_fake.avi" in body and b"Verdict" in body
+    # unknown job id → expired
+    status, _, _ = call(app, "GET", "/api/ui-job/deadbeef")
+    assert status == 404
+
+
+def test_chat_and_report(served):
+    app, _, _ = served
+    status, _, body = call(app, "POST", "/api/chat-public",
+                           json.dumps({"message": "how does it work?"}).encode(),
+                           "application/json")
+    assert status == 200
+    assert "TPU" in json.loads(body)["reply"]
+    status, _, body = call(app, "POST", "/api/gemini-report-public",
+                           json.dumps({"result": {"prediction": "Real",
+                                                  "pred_class": 0,
+                                                  "confidence": 0.9,
+                                                  "prob_fake": 0.1,
+                                                  "num_faces": 5}}).encode(),
+                           "application/json")
+    report = json.loads(body)["report"]
+    assert len(report.split()) == 200
+
+
+def test_agent_config_roundtrip(served):
+    app, _, _ = served
+    status, _, body = call(app, "POST", "/api/agent-config",
+                           json.dumps({"enabled": False,
+                                       "decision_threshold": 0.42}).encode(),
+                           "application/json")
+    cfg = json.loads(body)
+    assert cfg["enabled"] is False and cfg["decision_threshold"] == 0.42
+    assert app.enhanced_agent.decision_threshold == 0.42
+    call(app, "POST", "/api/agent-config",
+         json.dumps({"enabled": True, "decision_threshold": 0.5}).encode(),
+         "application/json")
+
+
+def test_metrics_from_preds_csv(tmp_path):
+    d = tmp_path / "ck"
+    d.mkdir()
+    with open(d / "preds_epoch_0.csv", "w") as f:
+        f.write("path,label,pred,prob_fake\n")
+        for i in range(10):
+            label = i % 2
+            f.write(f"v{i},{label},{label},{0.9 if label else 0.1}\n")
+    out = get_training_metrics(str(tmp_path))
+    assert out["epochs"][0]["accuracy"] == 1.0
+    assert out["epochs"][0]["auc"] == 1.0
