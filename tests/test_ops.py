@@ -1,0 +1,67 @@
+"""Pallas kernel tests (CPU via the Pallas interpreter; numerics checked
+against plain-XLA references)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepfake_video_detection_tpu.data.normalize import imagenet_normalize
+from deepfake_video_detection_tpu.ops.attention import flash_attention
+from deepfake_video_detection_tpu.ops.preprocess import fused_normalize
+
+
+def _reference_attention(q, k, v):
+    d = q.shape[-1]
+    s = jnp.einsum("bhnd,bhmd->bhnm", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) / np.sqrt(d)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhnm,bhmd->bhnd", p, v.astype(jnp.float32))
+
+
+def test_fused_normalize_matches_reference():
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 256, (2, 2, 32, 32, 3)).astype(np.uint8)  # 128-tileable
+    out = np.asarray(fused_normalize(jnp.asarray(x), out_dtype=jnp.float32,
+                                     interpret=True))
+    ref = np.asarray(imagenet_normalize(jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_fused_normalize_fallback_odd_shape():
+    # 5×5×3 = 75 elements — not 128-tileable → XLA fallback path
+    x = np.full((1, 5, 5, 3), 128, np.uint8)
+    out = np.asarray(fused_normalize(jnp.asarray(x), out_dtype=jnp.float32))
+    ref = np.asarray(imagenet_normalize(jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_fused_normalize_bf16_output():
+    x = np.random.default_rng(1).integers(0, 256, (1, 32, 32, 3)).astype(np.uint8)
+    out = fused_normalize(jnp.asarray(x), interpret=True)
+    assert out.dtype == jnp.bfloat16
+
+
+@pytest.mark.parametrize("n", [64, 128, 200, 384])
+def test_flash_attention_matches_reference(n):
+    rng = np.random.default_rng(0)
+    B, H, d = 2, 3, 64
+    q = jnp.asarray(rng.normal(size=(B, H, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, n, d)), jnp.float32)
+    out = flash_attention(q, k, v, interpret=True)
+    ref = _reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_attention_long_sequence_padding():
+    """Odd N exercises the padded-key masking path."""
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(1, 1, 130, 32)), jnp.float32)
+    out = flash_attention(q, q, q, interpret=True)
+    ref = _reference_attention(q, q, q)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    assert out.shape == (1, 1, 130, 32)
