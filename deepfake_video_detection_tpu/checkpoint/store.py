@@ -162,6 +162,30 @@ def load_any(path: str) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
     return normalize_state_dict_keys(sd), meta
 
 
+def save_orbax(path: str, variables: Mapping[str, Any],
+               opt_state: Any = None) -> None:
+    """Orbax-backed checkpoint (directory format) — the multi-host-safe path
+    for large sharded training states; the ``.npz`` store remains the compact
+    single-file format for serving artifacts."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    tree = {"variables": _to_host(dict(variables))}
+    if opt_state is not None:
+        tree["opt_state"] = _to_host(opt_state)
+    ckptr.save(os.path.abspath(path), tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_orbax(path: str, template: Optional[Any] = None) -> Any:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        return ckptr.restore(os.path.abspath(path), template)
+    return ckptr.restore(os.path.abspath(path))
+
+
 def _is_zip_npz(path: str) -> bool:
     try:
         with open(path, "rb") as f:
