@@ -50,27 +50,47 @@ def center_square_boxes(n: int, height: int, width: int,
     return np.tile(box, (n, 1))
 
 
+def _crop_resize_jit(size: int):
+    """Jitted batched crop+resize, cached at module level so repeated calls
+    (one per clip in the serving loop) reuse the compiled program."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=())
+    def fn(frames, boxes):
+        def one(frame, box):
+            x1, y1, x2, y2 = box
+            w = jnp.maximum(x2 - x1, 1.0)
+            h = jnp.maximum(y2 - y1, 1.0)
+            scale_y = size / h
+            scale_x = size / w
+            return jax.image.scale_and_translate(
+                frame.astype(jnp.float32), (size, size, 3), (0, 1),
+                jnp.stack([scale_y, scale_x]),
+                jnp.stack([-y1 * scale_y, -x1 * scale_x]), "linear")
+
+        return jnp.clip(jax.vmap(one)(frames, boxes), 0, 255).astype(jnp.uint8)
+
+    return fn
+
+
+_CROP_CACHE: dict = {}
+
+
 def crop_and_resize_batch(frames: np.ndarray, boxes: np.ndarray,
                           size: int) -> np.ndarray:
     """Crop box i from frame i and resize to (size, size) — one vmapped
     device op for the whole clip. ``frames`` (N,H,W,3) uint8, ``boxes``
     (N,4) xyxy float."""
-    import jax
     import jax.numpy as jnp
 
-    def one(frame, box):
-        x1, y1, x2, y2 = box
-        w = jnp.maximum(x2 - x1, 1.0)
-        h = jnp.maximum(y2 - y1, 1.0)
-        scale_y = size / h
-        scale_x = size / w
-        return jax.image.scale_and_translate(
-            frame.astype(jnp.float32), (size, size, 3), (0, 1),
-            jnp.stack([scale_y, scale_x]),
-            jnp.stack([-y1 * scale_y, -x1 * scale_x]), "linear")
-
-    out = jax.jit(jax.vmap(one))(jnp.asarray(frames), jnp.asarray(boxes, jnp.float32))
-    return np.clip(np.asarray(out), 0, 255).astype(np.uint8)
+    fn = _CROP_CACHE.get(size)
+    if fn is None:
+        fn = _CROP_CACHE[size] = _crop_resize_jit(size)
+    out = fn(jnp.asarray(frames), jnp.asarray(boxes, jnp.float32))
+    return np.asarray(out)
 
 
 class FaceExtractor:
@@ -171,10 +191,28 @@ class FaceExtractor:
 
     def extract_from_video(self, path: str,
                            sample_rate: Optional[int] = None,
-                           max_frames: Optional[int] = None) -> np.ndarray:
+                           max_frames: Optional[int] = None,
+                           keyframes_only: Optional[bool] = None) -> np.ndarray:
         """≙ ``extract_faces_from_video`` (``app.py:1908-2025``)."""
         if max_frames is None:
             max_frames = max(1, min(_env_int("MAX_FRAMES", 8), 64))
+        if self.detector == "center":
+            # fast path: crop+resize inside the C++ decode worker — no
+            # per-clip device round-trips, decode threads run GIL-free
+            from deepfake_video_detection_tpu.data.video import (
+                sample_video_faces_center)
+
+            if sample_rate is None:
+                sample_rate = max(1, _env_int("VIDEO_SAMPLE_RATE", 5))
+            if keyframes_only is None:
+                keyframes_only = os.environ.get(
+                    "VIDEO_KEYFRAMES_ONLY", "").strip().lower() in (
+                    "1", "true", "yes")
+            return sample_video_faces_center(
+                path, face_size=self.face_size, sample_rate=sample_rate,
+                max_frames=max_frames, margin=self.margin,
+                keyframes_only=keyframes_only)
         frames = sample_video_frames(path, sample_rate=sample_rate,
-                                     max_frames=max_frames)
+                                     max_frames=max_frames,
+                                     keyframes_only=keyframes_only)
         return self.extract_from_frames(frames)

@@ -70,9 +70,15 @@ def _get_lib():
         lib.vd_probe.restype = ctypes.c_int
         lib.vd_sample.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_char_p,
-            ctypes.c_int]
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_char_p, ctypes.c_int]
         lib.vd_sample.restype = ctypes.c_int
+        lib.vd_sample_crop.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_char_p, ctypes.c_int]
+        lib.vd_sample_crop.restype = ctypes.c_int
         lib.vd_encode.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
@@ -101,6 +107,7 @@ def sample_video_frames(
     sample_rate: Optional[int] = None,
     max_frames: int = 32,
     size: Optional[Tuple[int, int]] = None,
+    keyframes_only: Optional[bool] = None,
 ) -> np.ndarray:
     """Decode every ``sample_rate``-th frame up to ``max_frames``.
 
@@ -108,12 +115,19 @@ def sample_video_frames(
     (swscale — cheaper than a separate resize pass); default keeps the
     native resolution. ``sample_rate=None`` honours ``VIDEO_SAMPLE_RATE``
     env (default 5, matching ``app.py:1918``).
+
+    ``keyframes_only`` (env ``VIDEO_KEYFRAMES_ONLY``): decode only intra
+    frames — 10-25× less decode work for sparse sampling; ``sample_rate``
+    then counts keyframes.
     """
     if sample_rate is None:
         try:
             sample_rate = max(1, int(os.environ.get("VIDEO_SAMPLE_RATE", "5")))
         except ValueError:
             sample_rate = 5
+    if keyframes_only is None:
+        keyframes_only = os.environ.get("VIDEO_KEYFRAMES_ONLY", "").strip(
+        ).lower() in ("1", "true", "yes")
     backend = os.environ.get("VIDEO_BACKEND", "native").strip().lower()
     if backend in ("imageio", "cv2"):
         frames = _optional_backend(backend, path, sample_rate, max_frames)
@@ -127,9 +141,37 @@ def sample_video_frames(
     out = np.empty((max_frames, h, w, 3), np.uint8)
     err = ctypes.create_string_buffer(256)
     n = lib.vd_sample(path.encode(), int(sample_rate), int(max_frames),
-                      int(w), int(h),
+                      int(w), int(h), 1 if keyframes_only else 0,
                       out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                       err, 256)
+    if n < 0:
+        raise VideoDecodeError(f"{path}: {err.value.decode(errors='replace')}")
+    return out[:n]
+
+
+def sample_video_faces_center(
+    path: str,
+    face_size: int = 224,
+    sample_rate: int = 5,
+    max_frames: int = 8,
+    margin: float = 0.1,
+    keyframes_only: bool = False,
+) -> np.ndarray:
+    """Decode + center-square-crop + resize entirely inside the C++ decoder
+    (≙ the ``center`` face-prior path of ``data/faces.py`` with zero Python
+    per-frame work). Returns (N, face_size, face_size, 3) uint8."""
+    lib = _get_lib()
+    w, h, _, _ = probe_video(path)
+    side = int(min(w, h) * (1.0 - margin))
+    x0 = (w - side) // 2
+    y0 = (h - side) // 2
+    out = np.empty((max_frames, face_size, face_size, 3), np.uint8)
+    err = ctypes.create_string_buffer(256)
+    n = lib.vd_sample_crop(path.encode(), int(sample_rate), int(max_frames),
+                           x0, y0, side, side, face_size, face_size,
+                           1 if keyframes_only else 0,
+                           out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                           err, 256)
     if n < 0:
         raise VideoDecodeError(f"{path}: {err.value.decode(errors='replace')}")
     return out[:n]

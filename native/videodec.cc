@@ -18,6 +18,7 @@ extern "C" {
 #include <libavformat/avformat.h>
 #include <libavutil/imgutils.h>
 #include <libavutil/opt.h>
+#include <libavutil/pixdesc.h>
 #include <libswscale/swscale.h>
 }
 
@@ -34,6 +35,15 @@ struct Ctx {
   SwsContext* sws = nullptr;
   int stream_idx = -1;
 };
+
+#ifndef AV_FRAME_FLAG_KEY  // pre-6.x libavutil
+#define AV_FRAME_FLAG_KEY 0
+inline bool frame_is_key(const AVFrame* f) { return f->key_frame != 0; }
+#else
+inline bool frame_is_key(const AVFrame* f) {
+  return (f->flags & AV_FRAME_FLAG_KEY) != 0;
+}
+#endif
 
 void close_ctx(Ctx* c) {
   if (!c) return;
@@ -98,11 +108,19 @@ int vd_probe(const char* path, int* width, int* height, double* fps,
 // Decode every `sample_rate`-th frame (starting at 0) up to `max_frames`,
 // scaled to (out_w, out_h) RGB24, packed into `out` (size must be
 // max_frames*out_h*out_w*3). Returns the number of frames written, or -1.
+//
+// `keyframes_only != 0` switches to keyframe sampling: the decoder skips all
+// non-key frames (AVDISCARD_NONKEY) and `sample_rate` counts keyframes. For
+// sparse temporal sampling (serving reads ~8 frames of a 300-frame clip)
+// this cuts decode work by roughly the GOP size (10-25x) since inter frames
+// are never reconstructed.
 int vd_sample(const char* path, int sample_rate, int max_frames, int out_w,
-              int out_h, uint8_t* out, char* err, int errlen) {
+              int out_h, int keyframes_only, uint8_t* out, char* err,
+              int errlen) {
   if (sample_rate < 1) sample_rate = 1;
   Ctx* c = open_ctx(path, err, errlen);
   if (!c) return -1;
+  if (keyframes_only) c->dec->skip_frame = AVDISCARD_NONKEY;
 
   c->sws = sws_getContext(c->dec->width, c->dec->height, c->dec->pix_fmt,
                           out_w, out_h, AV_PIX_FMT_RGB24,
@@ -121,6 +139,8 @@ int vd_sample(const char* path, int sample_rate, int max_frames, int out_w,
   bool done = false;
 
   auto take = [&](AVFrame* f) {
+    if (keyframes_only && !frame_is_key(f)) return;  // decoder may ignore
+                                                     // skip_frame; filter here
     if (frame_idx % sample_rate == 0 && written < max_frames) {
       uint8_t* dst[1] = {out + (size_t)written * frame_bytes};
       int dst_stride[1] = {out_w * 3};
@@ -151,6 +171,95 @@ int vd_sample(const char* path, int sample_rate, int max_frames, int out_w,
   return written;
 }
 
+// Like vd_sample but crops a source rectangle BEFORE scaling — the serving
+// path's "center face prior" crop runs here, inside the decode worker, so
+// the device receives ready (T, out_h, out_w, 3) batches and the Python
+// side does zero per-clip image work. Crop offsets are aligned down to the
+// chroma subsampling grid. crop_w/crop_h <= 0 selects the full frame.
+int vd_sample_crop(const char* path, int sample_rate, int max_frames,
+                   int crop_x, int crop_y, int crop_w, int crop_h, int out_w,
+                   int out_h, int keyframes_only, uint8_t* out, char* err,
+                   int errlen) {
+  if (sample_rate < 1) sample_rate = 1;
+  Ctx* c = open_ctx(path, err, errlen);
+  if (!c) return -1;
+  if (keyframes_only) c->dec->skip_frame = AVDISCARD_NONKEY;
+
+  const int W = c->dec->width, H = c->dec->height;
+  if (crop_w <= 0 || crop_h <= 0) {
+    crop_x = crop_y = 0;
+    crop_w = W;
+    crop_h = H;
+  }
+  crop_x = std::max(0, std::min(crop_x, W - 2));
+  crop_y = std::max(0, std::min(crop_y, H - 2));
+  crop_w = std::min(crop_w, W - crop_x);
+  crop_h = std::min(crop_h, H - crop_y);
+
+  const AVPixFmtDescriptor* desc = av_pix_fmt_desc_get(c->dec->pix_fmt);
+  // align the crop origin to the chroma grid so plane offsets are exact
+  const int align_x = 1 << (desc ? desc->log2_chroma_w : 1);
+  const int align_y = 1 << (desc ? desc->log2_chroma_h : 1);
+  crop_x -= crop_x % align_x;
+  crop_y -= crop_y % align_y;
+
+  c->sws = sws_getContext(crop_w, crop_h, c->dec->pix_fmt, out_w, out_h,
+                          AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr,
+                          nullptr);
+  if (!c->sws) {
+    snprintf(err, errlen, "swscale init failed");
+    close_ctx(c);
+    return -1;
+  }
+
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int64_t frame_idx = 0;
+  int written = 0;
+  const int frame_bytes = out_w * out_h * 3;
+  bool done = false;
+
+  auto take = [&](AVFrame* f) {
+    if (keyframes_only && !frame_is_key(f)) return;
+    if (frame_idx % sample_rate == 0 && written < max_frames) {
+      const uint8_t* src[4] = {nullptr, nullptr, nullptr, nullptr};
+      for (int p = 0; p < 4 && f->data[p]; ++p) {
+        int sx = crop_x, sy = crop_y;
+        if (p == 1 || p == 2) {  // chroma planes
+          sx >>= (desc ? desc->log2_chroma_w : 1);
+          sy >>= (desc ? desc->log2_chroma_h : 1);
+        }
+        // bytes/px is 1 for all planar 8-bit formats we decode to
+        src[p] = f->data[p] + (size_t)sy * f->linesize[p] + sx;
+      }
+      uint8_t* dst[1] = {out + (size_t)written * frame_bytes};
+      int dst_stride[1] = {out_w * 3};
+      sws_scale(c->sws, src, f->linesize, 0, crop_h, dst, dst_stride);
+      ++written;
+    }
+    ++frame_idx;
+    if (written >= max_frames) done = true;
+  };
+
+  while (!done && av_read_frame(c->fmt, pkt) >= 0) {
+    if (pkt->stream_index == c->stream_idx) {
+      if (avcodec_send_packet(c->dec, pkt) == 0) {
+        while (!done && avcodec_receive_frame(c->dec, frame) == 0) take(frame);
+      }
+    }
+    av_packet_unref(pkt);
+  }
+  if (!done) {
+    avcodec_send_packet(c->dec, nullptr);
+    while (!done && avcodec_receive_frame(c->dec, frame) == 0) take(frame);
+  }
+
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  close_ctx(c);
+  return written;
+}
+
 // Test/fixture encoder: write `n` RGB24 frames (packed in `rgb`) as an
 // mpeg4-in-avi video. Lets the test suite create real videos without an
 // ffmpeg binary. Returns 0 on success.
@@ -171,6 +280,7 @@ int vd_encode(const char* path, const uint8_t* rgb, int n, int w, int h,
   }
   AVStream* st = avformat_new_stream(fmt, codec);
   AVCodecContext* enc = avcodec_alloc_context3(codec);
+  enc->thread_count = 0;  // auto threading
   enc->width = w;
   enc->height = h;
   enc->time_base = {1, fps};

@@ -161,3 +161,40 @@ def test_prepare_cli_frame_folders_layout(tmp_path):
     assert rc == 0
     names = sorted(f.name for f in out.glob("*.npz"))
     assert names == ["clip1_real_real.npz", "clip2_fake_fake.npz"]
+
+
+def test_native_crop_decode(test_video):
+    from deepfake_video_detection_tpu.data.video import sample_video_faces_center
+
+    faces = sample_video_faces_center(test_video, face_size=32,
+                                      sample_rate=5, max_frames=4)
+    assert faces.shape == (4, 32, 32, 3)
+    # same frames as the python-side center extractor (both bilinear resize
+    # of the same center square; mpeg4 loss + resampler differences allowed)
+    ex = FaceExtractor(detector="center", face_size=32)
+    frames = sample_video_frames(test_video, sample_rate=5, max_frames=4)
+    ref = ex.extract_from_frames(frames)
+    assert abs(float(faces.astype(int).mean()) - float(ref.astype(int).mean())) < 8
+
+
+def test_keyframes_only_decode(tmp_path):
+    # needs motion content: flat clips encode as all-intra, so use a
+    # translating gradient → GOP 12 yields keyframes at 0, 12, 24
+    H, W = 64, 80
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    frames = np.stack([
+        (np.stack([yy + 2 * i, xx, yy + xx], -1) % 256).astype(np.uint8)
+        for i in range(30)])
+    path = str(tmp_path / "motion.avi")
+    encode_video(path, frames, fps=10)
+    out = sample_video_frames(path, sample_rate=1, max_frames=30,
+                              keyframes_only=True)
+    assert out.shape[0] == 3  # GOP 12 over 30 frames
+    full = sample_video_frames(path, sample_rate=1, max_frames=30)
+    assert full.shape[0] == 30
+
+
+def test_extract_from_video_center_fast_path(test_video):
+    ex = FaceExtractor(detector="center", face_size=48)
+    faces = ex.extract_from_video(test_video, sample_rate=5, max_frames=3)
+    assert faces.shape == (3, 48, 48, 3)
