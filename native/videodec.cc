@@ -203,9 +203,11 @@ int vd_sample_crop(const char* path, int sample_rate, int max_frames,
   crop_x -= crop_x % align_x;
   crop_y -= crop_y % align_y;
 
+  // FAST_BILINEAR: ~25% cheaper; downscaling face crops to 224 is not
+  // quality-sensitive for the detector
   c->sws = sws_getContext(crop_w, crop_h, c->dec->pix_fmt, out_w, out_h,
-                          AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr,
-                          nullptr);
+                          AV_PIX_FMT_RGB24, SWS_FAST_BILINEAR, nullptr,
+                          nullptr, nullptr);
   if (!c->sws) {
     snprintf(err, errlen, "swscale init failed");
     close_ctx(c);
