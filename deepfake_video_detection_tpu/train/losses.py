@@ -27,22 +27,32 @@ def _smoothed_one_hot(labels: jnp.ndarray, num_classes: int, smoothing: float) -
     return one
 
 
+def _weighted_mean(per_sample: jnp.ndarray, labels: jnp.ndarray,
+                   class_weights, sample_mask) -> jnp.ndarray:
+    """torch-semantics weighted mean: sum(w·x)/sum(w), where w combines the
+    per-class weight and the validity mask (padded loader slots get w=0, so
+    partial batches train identically to their unpadded equivalents)."""
+    w = jnp.ones_like(per_sample)
+    if class_weights is not None:
+        w = w * jnp.asarray(class_weights, jnp.float32)[labels]
+    if sample_mask is not None:
+        w = w * sample_mask.astype(jnp.float32)
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1e-8)
+
+
 def cross_entropy_loss(
     logits: jnp.ndarray,
     labels: jnp.ndarray,
     class_weights: Optional[jnp.ndarray] = None,
     label_smoothing: float = 0.0,
+    sample_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Mean CE over the batch; ``class_weights`` follows torch semantics
-    (weighted mean: sum(w_i * ce_i) / sum(w_i))."""
+    """Weighted-mean CE over the batch."""
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     targets = _smoothed_one_hot(labels, logits.shape[-1], label_smoothing)
     ce = -jnp.sum(targets * logp, axis=-1)
-    if class_weights is not None:
-        w = jnp.asarray(class_weights, jnp.float32)[labels]
-        return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1e-8)
-    return jnp.mean(ce)
+    return _weighted_mean(ce, labels, class_weights, sample_mask)
 
 
 def focal_loss(
@@ -52,6 +62,7 @@ def focal_loss(
     gamma: float = 2.0,
     label_smoothing: float = 0.1,
     class_weights: Optional[jnp.ndarray] = None,
+    sample_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Focal loss over smoothed targets (≙ ``src/train_improved.py:29-78``):
     ``alpha * (1 - p_t)^gamma * CE`` with p_t the true-class probability."""
@@ -61,10 +72,7 @@ def focal_loss(
     ce = -jnp.sum(targets * logp, axis=-1)
     pt = jnp.exp(-ce)
     loss = alpha * jnp.power(1.0 - pt, gamma) * ce
-    if class_weights is not None:
-        w = jnp.asarray(class_weights, jnp.float32)[labels]
-        return jnp.sum(loss * w) / jnp.maximum(jnp.sum(w), 1e-8)
-    return jnp.mean(loss)
+    return _weighted_mean(loss, labels, class_weights, sample_mask)
 
 
 def binary_cross_entropy_with_logits(

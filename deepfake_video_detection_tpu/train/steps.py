@@ -54,8 +54,11 @@ def make_train_step(
             variables = {"params": params, "state": state.model_state}
             logits, new_model_state = _model_outputs(model, variables, batch, True, rng)
             # class weights are baked into loss_fn via functools.partial —
-            # keeping them out of `batch` lets every batch leaf shard on dim 0
-            loss = loss_fn(logits, batch["labels"])
+            # keeping them out of `batch` lets every batch leaf shard on dim 0.
+            # `valid` masks loader padding out of the gradient, so a padded
+            # partial batch trains identically to its unpadded equivalent.
+            loss = loss_fn(logits, batch["labels"],
+                           sample_mask=batch.get("valid"))
             return loss, (logits, new_model_state)
 
         (loss, (logits, new_model_state)), grads = jax.value_and_grad(
@@ -64,10 +67,17 @@ def make_train_step(
         new_params = jax.tree_util.tree_map(
             lambda p, u: (p + u).astype(p.dtype), state.params, updates)
         preds = jnp.argmax(logits, axis=-1)
+        valid = batch.get("valid")
+        hit = (preds == batch["labels"])
+        if valid is not None:
+            hit = hit & valid
+            count = jnp.sum(valid.astype(jnp.int32))
+        else:
+            count = jnp.asarray(batch["labels"].shape[0], jnp.int32)
         metrics = {
             "loss": loss,
-            "correct": jnp.sum(preds == batch["labels"]),
-            "count": jnp.asarray(batch["labels"].shape[0], jnp.int32),
+            "correct": jnp.sum(hit),
+            "count": count,
             "grad_norm": optax_global_norm(grads),
         }
         new_state = TrainState(new_params, new_model_state, new_opt_state,

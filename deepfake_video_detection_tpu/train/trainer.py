@@ -250,10 +250,9 @@ class Trainer:
         for batch in prefetch_to_device(it, self.mesh):
             rng, k_aug, k_drop = jax.random.split(rng, 3)
             batch.pop("paths", None)
-            valid = batch.pop("valid")
             batch = self._prep_train(batch, k_aug)
             state, metrics = self.train_step(state, batch, k_drop)
-            n = int(np.asarray(jnp.sum(valid)))
+            n = int(metrics["count"])
             tot_loss += float(metrics["loss"]) * n
             tot_correct += int(metrics["correct"])
             tot_count += n

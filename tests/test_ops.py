@@ -65,3 +65,37 @@ def test_flash_attention_long_sequence_padding():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
     assert out.shape == (1, 1, 130, 32)
+
+
+def test_ring_attention_matches_reference():
+    """Exact attention with the sequence sharded over a 4-way ring (the
+    remaining 2 mesh devices carry data-parallel batch)."""
+    from jax.sharding import Mesh
+    from deepfake_video_detection_tpu.ops.ring_attention import ring_attention
+
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, axis_names=("data", "model"))
+    rng = np.random.default_rng(0)
+    B, H, N, d = 2, 2, 64, 16  # N=64 → 16 per ring member
+    q = jnp.asarray(rng.normal(size=(B, H, N, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, N, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, N, d)), jnp.float32)
+    out = jax.jit(lambda q, k, v: ring_attention(q, k, v, mesh))(q, k, v)
+    ref = _reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_ring_attention_single_device_ring():
+    """ring size 1 degenerates to plain attention (no permute steps)."""
+    from jax.sharding import Mesh
+    from deepfake_video_detection_tpu.ops.ring_attention import ring_attention
+
+    devices = np.array(jax.devices()[:8]).reshape(8, 1)
+    mesh = Mesh(devices, axis_names=("data", "model"))
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(8, 1, 8, 8)), jnp.float32)
+    out = ring_attention(q, q, q, mesh)
+    ref = _reference_attention(q, q, q)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

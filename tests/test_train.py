@@ -115,3 +115,25 @@ def test_train_step_sharding(npz_dir):
     state = trainer.init_state()
     state, m = trainer.train_epoch(state, 0)
     assert np.isfinite(float(m["train_loss"]))
+
+
+def test_dp_matches_single_device(npz_dir, tmp_path):
+    """Data-parallel training over the 8-device mesh must produce the same
+    losses as single-device training — SPMD is a performance choice, not a
+    numerics choice."""
+    ds = VideoFacesDataset(npz_dir, num_frames=4)
+    train_ds, val_ds = ds.split(0.25)
+
+    def run(mesh):
+        cfg = TrainerConfig(out_dir=str(tmp_path / f"dp{mesh is not None}"),
+                            epochs=1, batch_size=8, num_frames=4, lr=1e-2,
+                            augment=False, save_every=0, seed=7)
+        tr = Trainer(TinyDetector(), train_ds, val_ds, cfg, mesh=mesh)
+        state = tr.init_state()
+        state, m = tr.train_epoch(state, 0)
+        return m["train_loss"], np.asarray(state.params["head"]["weight"])
+
+    loss_mesh, w_mesh = run(make_mesh())
+    loss_one, w_one = run(None)
+    assert loss_mesh == pytest.approx(loss_one, rel=1e-5)
+    np.testing.assert_allclose(w_mesh, w_one, rtol=1e-5, atol=1e-6)
