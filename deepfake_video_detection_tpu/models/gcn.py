@@ -61,11 +61,25 @@ class FrameGraphDetector:
 
     def __init__(self, vit_out: int = 768, gcn_hid: int = 256, gcn_out: int = 128,
                  num_classes: int = 2, vit_variant: str = "vit_base_patch16_224",
-                 img_size: int = 224, compute_dtype: jnp.dtype = jnp.float32):
+                 img_size: int = 224, compute_dtype: jnp.dtype = jnp.float32,
+                 backbone: str = "timm"):
         self.vit_out = vit_out
         self.num_classes = num_classes
-        self.vit = VisionTransformer(variant=vit_variant, img_size=img_size,
-                                     num_classes=0, compute_dtype=compute_dtype)
+        self.backbone_flavor = backbone
+        if backbone in ("clip", "dinov2"):
+            # ≙ the reference's backbone kwarg dispatch (src/models.py:240-248).
+            # The flavor selects the checkpoint key layout (HF importers in
+            # models/feature_extractors.py) and which pixel normalisation the
+            # data pipeline applies (TrainerConfig.normalize); the encoder
+            # itself is the same TPU-native ViT.
+            from deepfake_video_detection_tpu.models.feature_extractors import (
+                build_feature_extractor)
+            self.vit = build_feature_extractor(backbone, vit_variant,
+                                               img_size).vit
+        else:
+            self.vit = VisionTransformer(variant=vit_variant, img_size=img_size,
+                                         num_classes=0,
+                                         compute_dtype=compute_dtype)
         self.needs_proj = self.vit.feature_dim != vit_out
         self.gcn = SimpleGCN(vit_out, gcn_hid, gcn_out)
         self.gcn_out = gcn_out

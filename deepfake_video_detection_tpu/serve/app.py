@@ -622,6 +622,22 @@ class App:
                 return Response.json({"error": "provide a file upload or a "
                                       "valid 'path'"}, 400)
             result = app.predictor.predict_video(path)
+            if env_bool("API_ENABLE_AGENT", True) and not result.get("error"):
+                try:
+                    decision = app.decision_agent.process({
+                        "video_id": os.path.basename(path),
+                        "probs": [result.get("prob_real") or 0.0,
+                                  result.get("prob_fake") or 0.0],
+                        "pred_class": result.get("pred_class"),
+                        "confidence": result.get("confidence"),
+                        "frame_scores": None})
+                    app.monitoring_agent.process(decision)
+                    app.action_agent.process(decision)
+                    result["agent"] = {
+                        "alert_level": decision.alert_level.name,
+                        "explanation": decision.explanation}
+                except Exception:
+                    pass
             app.last_results["__public__"] = result
             return Response.json(result)
 
@@ -661,7 +677,20 @@ def create_app(autoload: bool = True, **kwargs) -> App:
     return App(autoload=autoload, **kwargs)
 
 
+def _startup_hardening() -> None:
+    """≙ the reference's import-time hardening (``app.py:5-14, 102-109``):
+    crash tracebacks via faulthandler and BLAS thread caps so host math
+    libraries don't oversubscribe the decode workers' cores."""
+    import faulthandler
+
+    faulthandler.enable()
+    for var in ("OMP_NUM_THREADS", "MKL_NUM_THREADS",
+                "OPENBLAS_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
+
 def main(argv=None) -> int:
+    _startup_hardening()
     ap = argparse.ArgumentParser(description="Deepfake detection web app")
     ap.add_argument("--host", default=env_str("HOST", "0.0.0.0"))
     ap.add_argument("--port", type=int, default=env_int("PORT", 5000))

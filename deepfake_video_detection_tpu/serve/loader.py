@@ -256,9 +256,10 @@ def calibration_penalty(folder: str) -> float:
     return 0.0
 
 
-def pick_best_checkpoint_for_autoload(root: str = "checkpoints") -> Optional[str]:
+def rank_checkpoints_for_autoload(root: str = "checkpoints") -> List[str]:
     """Scored glob over checkpoint folders (dfdc200 > dfdc > ensemble),
-    history-CSV tiebreak, extreme-calibration penalty."""
+    history-CSV tiebreak, extreme-calibration penalty. Returns ALL hits in
+    descending score — autoload walks the list until one loads."""
     patterns = ["checkpoint_best*.npz", "checkpoint_best*.pt",
                 "checkpoint_epoch_*.npz", "*.pt", "*.npz"]
     found: List[Tuple[float, str]] = []
@@ -272,16 +273,20 @@ def pick_best_checkpoint_for_autoload(root: str = "checkpoints") -> Optional[str
         elif "ensemble" in low:
             prior = 10.0
         for rank, pat in enumerate(patterns):
-            for p in sorted(_glob.glob(os.path.join(dirpath, pat))):
+            hits = sorted(_glob.glob(os.path.join(dirpath, pat)))
+            for p in hits:
                 score = prior + (10 - rank) + _history_best_metric(dirpath) \
                     - calibration_penalty(dirpath)
                 found.append((score, p))
-            if _glob.glob(os.path.join(dirpath, pat)):
+            if hits:
                 break  # best pattern class per dir only
-    if not found:
-        return None
     found.sort(key=lambda t: (-t[0], t[1]))
-    return found[0][1]
+    return [p for _, p in found]
+
+
+def pick_best_checkpoint_for_autoload(root: str = "checkpoints") -> Optional[str]:
+    ranked = rank_checkpoints_for_autoload(root)
+    return ranked[0] if ranked else None
 
 
 def download_checkpoint(url: str, dest_dir: str = "checkpoints") -> Optional[str]:
@@ -322,9 +327,8 @@ def build_autoload_candidates(root: str = "checkpoints") -> List[Tuple[str, Opti
     explicit = env_str("MODEL_PATH") or env_str("CHECKPOINT_PATH")
     if explicit and os.path.exists(explicit):
         out.append((explicit, env_str("MODEL_TYPE")))
-    best = pick_best_checkpoint_for_autoload(root)
-    if best:
-        out.append((best, None))
+    for path in rank_checkpoints_for_autoload(root)[:8]:
+        out.append((path, None))
     for legacy in ("checkpoints/checkpoint_best.pt",
                    "checkpoints/checkpoint_best.npz",
                    "checkpoints/vit_gnn_ckpt.pt"):

@@ -188,6 +188,36 @@ def dashboard_page(user: Optional[str], uploads: List[Dict[str, Any]]) -> str:
              '<p class="muted">No uploads yet.</p>')
     body = f"""
 <div class="card"><h2>Upload history</h2>{table}</div>
+<div class="card"><h2>Training metrics</h2>
+<svg id="chart" width="780" height="200" viewBox="0 0 780 200"></svg>
+<p class="muted" id="chart-note">Per-epoch accuracy/F1/AUC recomputed from
+preds_epoch_*.csv (via /api/metrics).</p></div>
+<script>
+fetch('/api/metrics').then(r => r.json()).then(d => {{
+  const es = d.epochs || [];
+  const svg = document.getElementById('chart');
+  if (!es.length) {{
+    document.getElementById('chart-note').textContent =
+      'No training metrics on this server yet.';
+    return;
+  }}
+  const W = 780, H = 200, pad = 28;
+  const keys = [['accuracy', '#7aa2ff'], ['f1', '#51cf66'], ['auc', '#fcc419']];
+  const x = i => pad + i * (W - 2 * pad) / Math.max(es.length - 1, 1);
+  const y = v => H - pad - v * (H - 2 * pad);
+  let out = `<line x1="${{pad}}" y1="${{y(0)}}" x2="${{W - pad}}" y2="${{y(0)}}"
+             stroke="#2c365e"/>`;
+  for (const [k, color] of keys) {{
+    const pts = es.map((e, i) => `${{x(i)}},${{y(e[k] || 0)}}`).join(' ');
+    out += `<polyline fill="none" stroke="${{color}}" stroke-width="2"
+            points="${{pts}}"/>`;
+  }}
+  out += keys.map(([k, c], j) =>
+    `<text x="${{pad + j * 90}}" y="14" fill="${{c}}" font-size="12">${{k}}</text>`
+  ).join('');
+  svg.innerHTML = out;
+}});
+</script>
 <div class="card"><h2>Chat</h2>
 <div class="chat-log" id="log"></div>
 <p><input type="text" id="msg" placeholder="Ask about your results…">

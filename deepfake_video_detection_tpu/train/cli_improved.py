@@ -24,7 +24,9 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="Improved trainer (focal, cosine, early stop)")
     ap.add_argument("--data_dir", required=True)
     ap.add_argument("--backbone", default="vit_tiny_patch16_224",
-                    help="vit variant for the frame-graph model")
+                    help="vit variant, or 'clip'/'dinov2' (optionally "
+                         "'clip:<variant>') — ≙ the reference's backbone "
+                         "selection (src/train_improved.py:434-441)")
     ap.add_argument("--epochs", type=int, default=100)
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--num_frames", type=int, default=16)
@@ -42,7 +44,13 @@ def main(argv=None) -> int:
     ds = VideoFacesDataset(args.data_dir, num_frames=args.num_frames,
                            recursive=args.recursive)
     train_ds, val_ds = ds.split(0.2)
-    model = FrameGraphDetector(vit_variant=args.backbone)
+    flavor, variant = "timm", args.backbone
+    if args.backbone.split(":")[0] in ("clip", "dinov2"):
+        parts = args.backbone.split(":", 1)
+        flavor = parts[0]
+        variant = parts[1] if len(parts) > 1 else "vit_base_patch16_224"
+    model = FrameGraphDetector(vit_variant=variant, backbone=flavor)
+    normalize = "clip" if flavor == "clip" else "imagenet"
     cfg = TrainerConfig(
         out_dir=args.out_dir, epochs=args.epochs, batch_size=args.batch_size,
         num_frames=args.num_frames, lr=args.lr, weight_decay=args.weight_decay,
@@ -51,7 +59,9 @@ def main(argv=None) -> int:
         balance="sampler", grad_clip=1.0,
         early_stopping_patience=args.patience, best_metric="accuracy",
         save_every=10, smoke=args.smoke, adjacency="chain",
-        model_config={"model_type": "vit_gcn", "vit_variant": args.backbone},
+        normalize=normalize,
+        model_config={"model_type": "vit_gcn", "vit_variant": variant,
+                      "backbone": flavor},
     )
     mesh = make_mesh() if len(jax.devices()) > 1 else None
     trainer = Trainer(model, train_ds, val_ds, cfg, mesh=mesh)

@@ -91,6 +91,7 @@ class TrainerConfig:
     smoke: bool = False
     adjacency: Optional[str] = None   # None | chain | full — for graph models
     augment: bool = True
+    normalize: str = "imagenet"       # imagenet | clip | unit (x/255 only)
     compute_dtype: str = "float32"
     model_config: Dict[str, Any] = field(default_factory=dict)
 
@@ -167,19 +168,28 @@ class Trainer:
 
         # ---- device-side batch transform: augment (train) + normalize ----
         aug_cfg = AugmentConfig()
+        if config.normalize == "clip":
+            from deepfake_video_detection_tpu.data.normalize import clip_normalize
+            norm = clip_normalize
+        elif config.normalize == "unit":
+            def norm(x, scaled=False):
+                x = x.astype(jnp.float32)
+                return x if scaled else x / 255.0
+        else:
+            norm = imagenet_normalize
 
         @jax.jit
         def _prep_train(batch, rng):
             frames = augment_batch(rng, batch["frames"], aug_cfg) if config.augment \
                 else batch["frames"].astype(jnp.float32)
-            frames = imagenet_normalize(frames / 255.0, scaled=True) \
-                if config.augment else imagenet_normalize(frames)
+            frames = norm(frames / 255.0, scaled=True) \
+                if config.augment else norm(frames)
             out = dict(batch, frames=frames)
             return out
 
         @jax.jit
         def _prep_eval(batch):
-            return dict(batch, frames=imagenet_normalize(batch["frames"]))
+            return dict(batch, frames=norm(batch["frames"]))
 
         self._prep_train = _prep_train
         self._prep_eval = _prep_eval
