@@ -26,3 +26,6 @@ from deepfake_video_detection_tpu.models.feature_extractors import (  # noqa: F4
     build_feature_extractor,
 )
 from deepfake_video_detection_tpu.models.mtcnn import MTCNN  # noqa: F401
+from deepfake_video_detection_tpu.models.temporal_transformer import (  # noqa: F401
+    TemporalTransformerDetector,
+)

@@ -1,0 +1,154 @@
+"""Temporal transformer detector — long-clip model family (beyond parity).
+
+The reference caps clips at 16-64 frames because its temporal fusion is a
+tiny MLP/LSTM (SURVEY.md §5.7). This family scales the time axis instead:
+per-frame backbone features feed a transformer over the FRAME axis whose
+attention runs through the Pallas flash kernel (``ops/attention.py``) on a
+single chip, or ``ops/ring_attention.py`` when the frame axis is sharded
+across the mesh — exact attention over thousands of frames without ever
+materialising the (T, T) matrix.
+
+Interface matches ``BackboneDetector``: ``apply(variables, frames (B,T,H,W,C))
+→ ((logits, frame_scores), state)``, so the trainer, evaluator, and serving
+loader drive it unchanged.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from deepfake_video_detection_tpu.nn import init as I
+from deepfake_video_detection_tpu.nn import layers as L
+from deepfake_video_detection_tpu.models.backbone_detector import build_backbone
+
+Params = Dict[str, Any]
+
+
+def _lin_init(key, out_d, in_d):
+    kw, kb = jax.random.split(key)
+    return {"weight": I.trunc_normal(kw, (out_d, in_d), std=0.02),
+            "bias": I.zeros(out_d)}
+
+
+class TemporalTransformerDetector:
+    def __init__(
+        self,
+        backbone_name: str = "efficientnet_b0",
+        num_classes: int = 2,
+        d_model: int = 256,
+        depth: int = 4,
+        num_heads: int = 4,
+        mlp_ratio: float = 4.0,
+        dropout_rate: float = 0.1,
+        max_frames: int = 4096,
+        use_flash: bool = True,
+        compute_dtype: jnp.dtype = jnp.float32,
+    ):
+        self.backbone = build_backbone(backbone_name, compute_dtype)
+        self.backbone_name = backbone_name
+        self.feature_dim = self.backbone.feature_dim
+        self.num_classes = num_classes
+        self.d_model = d_model
+        self.depth = depth
+        self.num_heads = num_heads
+        self.mlp_hidden = int(d_model * mlp_ratio)
+        self.dropout_rate = dropout_rate
+        self.max_frames = max_frames
+        self.use_flash = use_flash
+        self.compute_dtype = compute_dtype
+
+    def init(self, rng: jax.Array) -> Dict[str, Params]:
+        kb, kp, kcls, *ks = jax.random.split(rng, 4 + 4 * self.depth)
+        bvars = self.backbone.init(kb)
+        D, H = self.d_model, self.mlp_hidden
+        params: Params = {
+            "backbone": bvars["params"],
+            "proj": _lin_init(kp, D, self.feature_dim),
+            "cls_token": I.trunc_normal(kcls, (1, 1, D), std=0.02),
+            "blocks": {},
+            "norm": {"weight": I.ones(D), "bias": I.zeros(D)},
+        }
+        it = iter(ks)
+        for i in range(self.depth):
+            params["blocks"][str(i)] = {
+                "norm1": {"weight": I.ones(D), "bias": I.zeros(D)},
+                "attn": {
+                    "qkv": _lin_init(next(it), 3 * D, D),
+                    "proj": _lin_init(next(it), D, D),
+                },
+                "norm2": {"weight": I.ones(D), "bias": I.zeros(D)},
+                "mlp": {"fc1": _lin_init(next(it), H, D),
+                        "fc2": _lin_init(next(it), D, H)},
+            }
+        kh = jax.random.split(ks[-1])[0]
+        params["head"] = _lin_init(kh, self.num_classes, D)
+        return {"params": params, "state": {"backbone": bvars["state"]}}
+
+    def _attention(self, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+        """Self-attention over frames via the flash kernel when on TPU and
+        the sequence is long enough to benefit; XLA softmax path otherwise."""
+        B, N, D = x.shape
+        nh = self.num_heads
+        hd = D // nh
+        qkv = L.linear(p["qkv"], x).reshape(B, N, 3, nh, hd)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)
+        q = jnp.swapaxes(q, 1, 2)
+        k = jnp.swapaxes(k, 1, 2)
+        v = jnp.swapaxes(v, 1, 2)
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        if self.use_flash and on_tpu and N >= 256:
+            from deepfake_video_detection_tpu.ops.attention import flash_attention
+            out = flash_attention(q, k, v)
+        else:
+            scale = 1.0 / math.sqrt(hd)
+            s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                           preferred_element_type=jnp.float32) * scale
+            a = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhnm,bhmd->bhnd", a, v,
+                             preferred_element_type=jnp.float32).astype(x.dtype)
+        out = jnp.swapaxes(out, 1, 2).reshape(B, N, D)
+        return L.linear(p["proj"], out)
+
+    def apply(self, variables: Dict[str, Params], x: jnp.ndarray,
+              train: bool = False, rng: Optional[jax.Array] = None
+              ) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray], Params]:
+        """``x``: (B, T, H, W, C) normalized frames."""
+        p, s = variables["params"], variables["state"]
+        B, T = x.shape[0], x.shape[1]
+        r_bb = r_d = None
+        if rng is not None:
+            rng, r_bb, r_d = jax.random.split(rng, 3)
+        feats_flat, ns_bb = self.backbone.apply(
+            {"params": p["backbone"], "state": s["backbone"]},
+            x.reshape((B * T,) + x.shape[2:]), train=train, rng=r_bb)
+        y = L.linear(p["proj"], feats_flat.reshape(B, T, self.feature_dim))
+
+        # sinusoidal time encoding — length-extrapolates past training T
+        D = self.d_model
+        pos = jnp.arange(T, dtype=jnp.float32)[:, None]
+        dim = jnp.arange(D // 2, dtype=jnp.float32)[None, :]
+        angle = pos / jnp.power(10000.0, 2 * dim / D)
+        pe = jnp.concatenate([jnp.sin(angle), jnp.cos(angle)], axis=-1)
+        y = y + pe[None].astype(y.dtype)
+
+        cls = jnp.broadcast_to(p["cls_token"].astype(y.dtype), (B, 1, D))
+        y = jnp.concatenate([cls, y], axis=1)
+
+        for i in range(self.depth):
+            bp = p["blocks"][str(i)]
+            y = y + self._attention(bp["attn"], L.layer_norm(bp["norm1"], y))
+            h = L.layer_norm(bp["norm2"], y)
+            h = jax.nn.gelu(L.linear(bp["mlp"]["fc1"], h), approximate=False)
+            y = y + L.linear(bp["mlp"]["fc2"], h)
+
+        y = L.layer_norm(p["norm"], y)
+        cls_out = L.dropout(r_d, y[:, 0], self.dropout_rate, train)
+        logits = L.linear(p["head"], cls_out).astype(jnp.float32)
+        # frame scores: attention-free saliency = norm of each frame token
+        frame_scores = jnp.linalg.norm(y[:, 1:].astype(jnp.float32), axis=-1)
+        frame_scores = jax.nn.softmax(frame_scores, axis=-1)
+        return (logits, frame_scores), {"backbone": ns_bb}

@@ -129,8 +129,24 @@ def load_model(path: str, model_type: Optional[str] = None
     requested = (model_type or "").strip().lower() or cfg.get("model_type") or None
 
     candidates: List[Tuple[str, Any, Dict[str, np.ndarray]]] = []
-    if requested in ("cnn_lstm",) or (requested is None and
-                                      any(k.startswith("cnn.") for k in sd)):
+    if requested in ("temporal", "temporal_transformer") or (
+            requested is None and "cls_token" in sd
+            and any(k.startswith("backbone.") for k in sd)):
+        from deepfake_video_detection_tpu.models.temporal_transformer import (
+            TemporalTransformerDetector)
+        name = cfg.get("backbone") or infer_backbone_from_keys(
+            {k[len("backbone."):]: v for k, v in sd.items()
+             if k.startswith("backbone.")}, fname) or "efficientnet_b0"
+        d_model = int(np.shape(sd["cls_token"])[-1])
+        depth = 1 + max((int(k.split(".")[1]) for k in sd
+                         if k.startswith("blocks.")), default=3)
+        candidates.append((
+            "temporal",
+            TemporalTransformerDetector(name, d_model=d_model, depth=depth,
+                                        num_heads=cfg.get("num_heads", 4)),
+            sd))
+    elif requested in ("cnn_lstm",) or (requested is None and
+                                        any(k.startswith("cnn.") for k in sd)):
         candidates.append(("cnn_lstm", CNNLSTMHybrid(), sd))
     elif requested in ("vit_gcn", "gcn") or (requested is None and
                                              any(k.startswith("gcn.") for k in sd)):

@@ -81,7 +81,7 @@ class Predictor:
 
         is_ensemble = model_type == "ensemble_pretrained" or hasattr(model, "members")
 
-        if model_type in ("pretrained", "ensemble_pretrained"):
+        if model_type in ("pretrained", "ensemble_pretrained", "temporal"):
             if is_ensemble:
                 @jax.jit
                 def fwd(v, frames_u8):
@@ -125,7 +125,7 @@ class Predictor:
     def predict_faces(self, faces: np.ndarray,
                       video_id: str = "video") -> Dict[str, Any]:
         """Run the decision policy on pre-extracted face crops."""
-        if self.model_type in ("pretrained", "ensemble_pretrained"):
+        if self.model_type in ("pretrained", "ensemble_pretrained", "temporal"):
             return self._predict_pretrained(faces, video_id)
         return self._predict_legacy(faces)
 
@@ -133,7 +133,7 @@ class Predictor:
 
     def _predict(self, video_path: str) -> Dict[str, Any]:
         abstain_conf = env_float("DETECT_ABSTAIN_CONF", 0.60)
-        if self.model_type in ("pretrained", "ensemble_pretrained"):
+        if self.model_type in ("pretrained", "ensemble_pretrained", "temporal"):
             max_frames = max(1, min(64, env_int("MAX_FRAMES", 8)))
             faces = self.extractor.extract_from_video(video_path,
                                                       max_frames=max_frames)

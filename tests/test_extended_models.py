@@ -251,3 +251,23 @@ def test_validate_improvements_demo(capsys):
     assert main([]) == 0
     out = capsys.readouterr().out
     assert "simulated" in out and "sanity check" in out
+
+
+def test_temporal_transformer_detector():
+    from deepfake_video_detection_tpu.models.temporal_transformer import (
+        TemporalTransformerDetector)
+
+    model = TemporalTransformerDetector("resnet18", d_model=64, depth=2,
+                                        num_heads=2)
+    v = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).random((2, 6, 32, 32, 3)),
+                    jnp.float32)
+    (logits, scores), _ = jax.jit(lambda v, x: model.apply(v, x))(v, x)
+    assert logits.shape == (2, 2)
+    assert scores.shape == (2, 6)
+    np.testing.assert_allclose(np.asarray(scores).sum(-1), 1.0, rtol=1e-5)
+    # longer clip, same params — time encoding extrapolates
+    x2 = jnp.asarray(np.random.default_rng(1).random((1, 24, 32, 32, 3)),
+                     jnp.float32)
+    (l2, s2), _ = model.apply(v, x2)
+    assert l2.shape == (1, 2) and s2.shape == (1, 24)

@@ -1,0 +1,121 @@
+"""Numerics parity vs stateless torch re-executions of the same weights
+(beyond the EfficientNet check in test_models.py): ResNet-18/50 and the
+Vision Transformer. These pin the conv padding/stride conventions, BN eval
+semantics, attention math, and the OIHW↔HWIO bridge."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from deepfake_video_detection_tpu.checkpoint import export_to_torch_state_dict
+from deepfake_video_detection_tpu.models.resnet import ResNet
+from deepfake_video_detection_tpu.models.vit import VisionTransformer
+
+
+def _t(sd, k):
+    return torch.from_numpy(np.asarray(sd[k]))
+
+
+def _bn(sd, prefix, x):
+    return F.batch_norm(x, _t(sd, f"{prefix}.running_mean"),
+                        _t(sd, f"{prefix}.running_var"),
+                        _t(sd, f"{prefix}.weight"), _t(sd, f"{prefix}.bias"),
+                        training=False, eps=1e-5)
+
+
+def _torch_resnet(model: ResNet, sd, x_nchw):
+    x = torch.from_numpy(x_nchw)
+    x = F.relu(_bn(sd, "bn1", F.conv2d(x, _t(sd, "conv1.weight"),
+                                       stride=2, padding=3)))
+    x = F.max_pool2d(x, 3, 2, 1)
+    for li, n_blocks in enumerate(model.stage_sizes):
+        for bi in range(n_blocks):
+            p = f"layer{li + 1}.{bi}"
+            stride = 2 if (li > 0 and bi == 0) else 1
+            identity = x
+            if model.block_type == "basic":
+                y = F.relu(_bn(sd, f"{p}.bn1",
+                               F.conv2d(x, _t(sd, f"{p}.conv1.weight"),
+                                        stride=stride, padding=1)))
+                y = _bn(sd, f"{p}.bn2",
+                        F.conv2d(y, _t(sd, f"{p}.conv2.weight"), padding=1))
+            else:
+                y = F.relu(_bn(sd, f"{p}.bn1",
+                               F.conv2d(x, _t(sd, f"{p}.conv1.weight"))))
+                y = F.relu(_bn(sd, f"{p}.bn2",
+                               F.conv2d(y, _t(sd, f"{p}.conv2.weight"),
+                                        stride=stride, padding=1)))
+                y = _bn(sd, f"{p}.bn3",
+                        F.conv2d(y, _t(sd, f"{p}.conv3.weight")))
+            if f"{p}.downsample.0.weight" in sd:
+                identity = _bn(sd, f"{p}.downsample.1",
+                               F.conv2d(x, _t(sd, f"{p}.downsample.0.weight"),
+                                        stride=stride))
+            x = F.relu(y + identity)
+    return x.mean(dim=(2, 3))
+
+
+@pytest.mark.parametrize("variant", ["resnet18", "resnet50"])
+def test_resnet_matches_torch(variant):
+    model = ResNet(variant=variant, num_classes=0)
+    # random BN stats so eval-mode normalisation is actually exercised
+    variables = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    variables["state"] = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.uniform(0.5, 1.5, a.shape), a.dtype)
+        if a.ndim else a, variables["state"])
+    sd = export_to_torch_state_dict(variables)
+
+    x = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+    ours, _ = jax.jit(lambda v, x: model.apply(v, x))(variables, jnp.asarray(x))
+    theirs = _torch_resnet(model, sd, np.transpose(x, (0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-4, rtol=2e-4)
+
+
+def _torch_vit(model: VisionTransformer, sd, x_nchw):
+    x = torch.from_numpy(x_nchw)
+    B = x.shape[0]
+    D = model.embed_dim
+    y = F.conv2d(x, _t(sd, "patch_embed.proj.weight"),
+                 _t(sd, "patch_embed.proj.bias"), stride=model.patch_size)
+    y = y.flatten(2).transpose(1, 2)                       # (B, N, D)
+    cls = _t(sd, "cls_token").expand(B, -1, -1)
+    y = torch.cat([cls, y], dim=1) + _t(sd, "pos_embed")
+    nh = model.num_heads
+    for i in range(model.depth):
+        p = f"blocks.{i}"
+        h = F.layer_norm(y, (D,), _t(sd, f"{p}.norm1.weight"),
+                         _t(sd, f"{p}.norm1.bias"), eps=1e-6)
+        qkv = F.linear(h, _t(sd, f"{p}.attn.qkv.weight"),
+                       _t(sd, f"{p}.attn.qkv.bias"))
+        q, k, v = qkv.reshape(B, -1, 3, nh, D // nh).permute(2, 0, 3, 1, 4)
+        attn = F.scaled_dot_product_attention(q, k, v)
+        attn = attn.transpose(1, 2).reshape(B, -1, D)
+        y = y + F.linear(attn, _t(sd, f"{p}.attn.proj.weight"),
+                         _t(sd, f"{p}.attn.proj.bias"))
+        h = F.layer_norm(y, (D,), _t(sd, f"{p}.norm2.weight"),
+                         _t(sd, f"{p}.norm2.bias"), eps=1e-6)
+        h = F.gelu(F.linear(h, _t(sd, f"{p}.mlp.fc1.weight"),
+                            _t(sd, f"{p}.mlp.fc1.bias")))
+        y = y + F.linear(h, _t(sd, f"{p}.mlp.fc2.weight"),
+                         _t(sd, f"{p}.mlp.fc2.bias"))
+    y = F.layer_norm(y, (D,), _t(sd, "norm.weight"), _t(sd, "norm.bias"),
+                     eps=1e-6)
+    return y[:, 0].numpy()
+
+
+def test_vit_matches_torch():
+    model = VisionTransformer(variant="vit_tiny_patch16_224", img_size=32)
+    variables = model.init(jax.random.PRNGKey(1))
+    sd = export_to_torch_state_dict(variables)
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    ours, _ = jax.jit(lambda v, x: model.apply(v, x))(variables, jnp.asarray(x))
+    with torch.no_grad():
+        theirs = _torch_vit(model, sd, np.transpose(x, (0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-4, rtol=2e-3)
