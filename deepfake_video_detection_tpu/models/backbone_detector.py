@@ -192,6 +192,10 @@ class EnsembleDetector:
             params["weights"] = jnp.full((len(self.members),), 1.0 / len(self.members))
         return {"params": params, "state": state}
 
+    @property
+    def homogeneous(self) -> bool:
+        return len(set(self.backbone_names)) == 1
+
     def apply(
         self,
         variables: Dict[str, Params],
@@ -201,20 +205,47 @@ class EnsembleDetector:
         return_member_logits: bool = False,
     ):
         p, s = variables["params"], variables["state"]
-        logits_list, scores_list = [], []
+        n = len(self.members)
         new_state: Params = {"models": {}}
-        for i, m in enumerate(self.members):
-            sub = None
-            if rng is not None:
-                rng, sub = jax.random.split(rng)
-            (lg, sc), ns = m.apply(
-                {"params": p["models"][str(i)], "state": s["models"][str(i)]},
-                x, train=train, rng=sub)
-            logits_list.append(lg)
-            scores_list.append(sc)
-            new_state["models"][str(i)] = ns
-        logits = jnp.stack(logits_list)     # (M, B, C)
-        scores = jnp.stack(scores_list)     # (M, B, T)
+        if self.homogeneous:
+            # identical architectures → stack member trees on a leading axis
+            # and vmap: ONE batched XLA program instead of M sequential
+            # subgraphs (SURVEY.md §7: heterogeneous defaults can't do this)
+            member = self.members[0]
+            stacked_p = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[p["models"][str(i)] for i in range(n)])
+            stacked_s = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[s["models"][str(i)] for i in range(n)])
+            rngs = jax.random.split(rng, n) if rng is not None else None
+
+            def one(mp, ms, r):
+                return member.apply({"params": mp, "state": ms}, x,
+                                    train=train, rng=r)
+
+            if rngs is None:
+                (logits, scores), ns = jax.vmap(
+                    lambda mp, ms: one(mp, ms, None))(stacked_p, stacked_s)
+            else:
+                (logits, scores), ns = jax.vmap(one)(stacked_p, stacked_s, rngs)
+            for i in range(n):
+                new_state["models"][str(i)] = jax.tree_util.tree_map(
+                    lambda a: a[i], ns)
+        else:
+            logits_list, scores_list = [], []
+            for i, m in enumerate(self.members):
+                sub = None
+                if rng is not None:
+                    rng, sub = jax.random.split(rng)
+                (lg, sc), ns = m.apply(
+                    {"params": p["models"][str(i)], "state": s["models"][str(i)]},
+                    x, train=train, rng=sub)
+                logits_list.append(lg)
+                scores_list.append(sc)
+                new_state["models"][str(i)] = ns
+            logits = jnp.stack(logits_list)     # (M, B, C)
+            scores = jnp.stack(scores_list)     # (M, B, T)
 
         if self.ensemble_method == "average":
             out_logits = jnp.mean(logits, axis=0)

@@ -184,3 +184,25 @@ def test_logic_rnn_forward_with_lengths():
     assert ((np.asarray(probs) >= 0) & (np.asarray(probs) <= 1)).all()
     preds = model.predict(v, x)
     assert set(np.unique(np.asarray(preds))) <= {0.0, 1.0}
+
+
+def test_homogeneous_ensemble_vmap_matches_loop():
+    """The vmapped homogeneous path must produce the same outputs as the
+    per-member loop (checked by building a heterogeneous-looking twin)."""
+    import jax.numpy as jnp
+
+    ens = EnsembleDetector(("resnet18", "resnet18"))
+    assert ens.homogeneous
+    v = ens.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).random((1, 2, 32, 32, 3)),
+                    jnp.float32)
+    (lg_vmap, sc_vmap, member), _ = ens.apply(v, x, return_member_logits=True)
+
+    # force the loop path on the same params
+    ens.backbone_names = ("resnet18", "resnet18b")  # disables homogeneity
+    (lg_loop, sc_loop, member_loop), _ = ens.apply(v, x,
+                                                   return_member_logits=True)
+    np.testing.assert_allclose(np.asarray(lg_vmap), np.asarray(lg_loop),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(member), np.asarray(member_loop),
+                               rtol=2e-5, atol=2e-5)
