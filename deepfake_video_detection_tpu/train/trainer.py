@@ -206,11 +206,30 @@ class Trainer:
             variables = replicate(variables, self.mesh)
         return TrainState.create(variables, self.tx)
 
+    def _load_variables(self, path: str, template: TrainState):
+        """Native ``.npz`` loads directly; reference ``.pt`` checkpoints go
+        through the torch bridge with a shape-filtered non-strict import
+        against this trainer's model template."""
+        if path.endswith(".pt") or path.endswith(".pth"):
+            from deepfake_video_detection_tpu.checkpoint.store import load_any
+            from deepfake_video_detection_tpu.checkpoint.torch_bridge import (
+                import_into_variables)
+
+            sd, meta = load_any(path)
+            variables, report = import_into_variables(
+                sd, {"params": template.params, "state": template.model_state})
+            if report["match_ratio"] < 0.5:
+                raise ValueError(
+                    f"checkpoint {path} matches only "
+                    f"{report['match_ratio']:.0%} of the model")
+            return variables, meta
+        return load_checkpoint(path)
+
     def resume(self, path: str, state: Optional[TrainState] = None) -> TrainState:
-        """Restore params/state/opt/epoch from a native checkpoint
-        (≙ ``src/train.py:349-387``)."""
+        """Restore params/state/opt/epoch from a checkpoint
+        (≙ ``src/train.py:349-387``; accepts native or torch layouts)."""
         state = state if state is not None else self.init_state()
-        variables, meta = load_checkpoint(path)
+        variables, meta = self._load_variables(path, state)
         opt_state = restore_opt_state(state.opt_state, meta)
         self.start_epoch = int(meta.get("epoch", -1)) + 1
         self.best_value = meta.get("best_value")
@@ -220,7 +239,7 @@ class Trainer:
     def warm_start(self, path: str, state: Optional[TrainState] = None) -> TrainState:
         """Params-only init (≙ ``--init-from``, ``src/train_improved.py:570-577``)."""
         state = state if state is not None else self.init_state()
-        variables, _ = load_checkpoint(path)
+        variables, _ = self._load_variables(path, state)
         return TrainState(variables["params"], variables["state"],
                           state.opt_state, state.step)
 

@@ -137,3 +137,23 @@ def test_dp_matches_single_device(npz_dir, tmp_path):
     loss_one, w_one = run(None)
     assert loss_mesh == pytest.approx(loss_one, rel=1e-5)
     np.testing.assert_allclose(w_mesh, w_one, rtol=1e-5, atol=1e-6)
+
+
+def test_warm_start_from_torch_checkpoint(npz_dir, tmp_path):
+    """--init-from accepts reference-layout .pt checkpoints via the bridge."""
+    torch = pytest.importorskip("torch")
+    from deepfake_video_detection_tpu.checkpoint.store import save_torch_checkpoint
+
+    ds = VideoFacesDataset(npz_dir, num_frames=4)
+    train_ds, val_ds = ds.split(0.25)
+    cfg = TrainerConfig(out_dir=str(tmp_path / "w"), epochs=1, batch_size=8,
+                        num_frames=4, augment=False)
+    t1 = Trainer(TinyDetector(), train_ds, val_ds, cfg)
+    s1 = t1.init_state()
+    pt = str(tmp_path / "init.pt")
+    save_torch_checkpoint(pt, s1.variables, layout="model_config")
+    t2 = Trainer(TinyDetector(), train_ds, val_ds, cfg)
+    s2 = t2.warm_start(pt)
+    np.testing.assert_allclose(np.asarray(s2.params["head"]["weight"]),
+                               np.asarray(s1.params["head"]["weight"]),
+                               rtol=1e-6)

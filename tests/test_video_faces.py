@@ -198,3 +198,21 @@ def test_extract_from_video_center_fast_path(test_video):
     ex = FaceExtractor(detector="center", face_size=48)
     faces = ex.extract_from_video(test_video, sample_rate=5, max_frames=3)
     assert faces.shape == (3, 48, 48, 3)
+
+
+def test_prepare_cli_zip_archive(test_video, tmp_path):
+    """--archive path: zip of videos is extracted then processed."""
+    import zipfile
+
+    from deepfake_video_detection_tpu.data.prepare import main
+
+    zpath = tmp_path / "videos.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.write(test_video, "inner/clip_fake.avi")
+    out = tmp_path / "out"
+    rc = main(["--archive", str(zpath), "--out_dir", str(out),
+               "--sample_rate", "5", "--max_frames", "4", "--size", "32",
+               "--detector", "center"])
+    assert rc == 0
+    files = [f for f in out.glob("*.npz")]
+    assert len(files) == 1 and "fake" in files[0].name
