@@ -17,7 +17,6 @@ loader in this framework accepts both our files and reference ``.pt`` files.
 
 from __future__ import annotations
 
-import io
 import json
 import os
 from typing import Any, Dict, Mapping, Optional, Tuple

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import collections
 import concurrent.futures as _fut
-import threading
 from typing import Any, Dict, Iterator, Optional
 
 import numpy as np

@@ -16,7 +16,6 @@ functionally. NHWC throughout; N(0, 0.02) init mirrors the reference.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, Optional, Tuple
 
 import jax

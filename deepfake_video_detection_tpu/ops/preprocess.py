@@ -22,7 +22,7 @@ Per-channel mean/std are selected with ``flat_index mod 3`` computed from a
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ data-parallel batch sharding on an orthogonal mesh axis.
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Optional
 

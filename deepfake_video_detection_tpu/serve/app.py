@@ -38,7 +38,6 @@ from __future__ import annotations
 import argparse
 import csv
 import glob as _glob
-import io
 import json
 import logging
 import os

@@ -14,7 +14,6 @@ from __future__ import annotations
 import argparse
 import csv
 import math
-import os
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import numpy as np

@@ -41,18 +41,28 @@ def make_train_step(
     loss_fn: Callable[..., jnp.ndarray],
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    remat: bool = False,
 ) -> Callable[[TrainState, dict, jax.Array], Tuple[TrainState, dict]]:
     """Build the compiled train step.
 
     ``batch``: dict with ``frames`` (B,T,H,W,C), ``labels`` (B,), optionally
     ``adjacency`` (B,N,N) — every leaf is batch-major so it shards on dim 0.
     Returns ``(new_state, metrics)`` with loss and per-batch correct count.
+
+    ``remat=True`` rematerialises the forward in the backward pass
+    (``jax.checkpoint``): activations of the whole model are recomputed
+    instead of stored — ~2× less HBM for ~1.3× FLOPs, the standard trade for
+    fitting larger (B·T) frame batches per chip.
     """
+    forward = _model_outputs
+    if remat:
+        forward = jax.checkpoint(
+            _model_outputs, static_argnums=(0, 3), policy=None)
 
     def step(state: TrainState, batch: dict, rng: jax.Array):
         def compute_loss(params):
             variables = {"params": params, "state": state.model_state}
-            logits, new_model_state = _model_outputs(model, variables, batch, True, rng)
+            logits, new_model_state = forward(model, variables, batch, True, rng)
             # class weights are baked into loss_fn via functools.partial —
             # keeping them out of `batch` lets every batch leaf shard on dim 0.
             # `valid` masks loader padding out of the gradient, so a padded

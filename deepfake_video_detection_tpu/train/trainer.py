@@ -80,6 +80,7 @@ class TrainerConfig:
     focal_gamma: float = 2.0
     balance: str = "weights"          # weights | sampler | none
     grad_clip: Optional[float] = 1.0
+    remat: bool = False               # rematerialise forward in backward
     plateau: bool = False
     plateau_patience: int = 10
     early_stopping_patience: Optional[int] = None
@@ -156,7 +157,8 @@ class Trainer:
             if config.early_stopping_patience else None
 
         # ---- compiled steps ----
-        self.train_step = make_train_step(model, self.tx, self.loss_fn, mesh)
+        self.train_step = make_train_step(model, self.tx, self.loss_fn, mesh,
+                                          remat=config.remat)
         self.eval_step = make_eval_step(model, mesh)
 
         # ---- adjacency (graph models): fixed chain graph over T frames ----

@@ -157,3 +157,22 @@ def test_warm_start_from_torch_checkpoint(npz_dir, tmp_path):
     np.testing.assert_allclose(np.asarray(s2.params["head"]["weight"]),
                                np.asarray(s1.params["head"]["weight"]),
                                rtol=1e-6)
+
+
+def test_remat_matches_no_remat(npz_dir, tmp_path):
+    ds = VideoFacesDataset(npz_dir, num_frames=4)
+    train_ds, val_ds = ds.split(0.25)
+
+    def run(remat):
+        cfg = TrainerConfig(out_dir=str(tmp_path / f"r{remat}"), epochs=1,
+                            batch_size=8, num_frames=4, lr=1e-2,
+                            augment=False, save_every=0, seed=3, remat=remat)
+        tr = Trainer(TinyDetector(), train_ds, val_ds, cfg)
+        state = tr.init_state()
+        state, m = tr.train_epoch(state, 0)
+        return m["train_loss"], np.asarray(state.params["proj"]["weight"])
+
+    l1, w1 = run(False)
+    l2, w2 = run(True)
+    assert l1 == pytest.approx(l2, rel=1e-6)
+    np.testing.assert_allclose(w1, w2, rtol=1e-6)
