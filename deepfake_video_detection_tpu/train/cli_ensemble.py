@@ -39,13 +39,19 @@ def main(argv=None) -> int:
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--recursive", action="store_true")
     ap.add_argument("--torch-export", action="store_true")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 activations (params stay f32)")
     args = ap.parse_args(argv)
 
     backbones = [b.strip() for b in args.backbones.split(",") if b.strip()]
     ds = VideoFacesDataset(args.data_dir, num_frames=args.num_frames,
                            recursive=args.recursive)
     train_ds, val_ds = ds.split(0.2)
-    model = EnsembleDetector(backbones, ensemble_method=args.ensemble_method)
+    import jax.numpy as jnp
+
+    model = EnsembleDetector(backbones, ensemble_method=args.ensemble_method,
+                             compute_dtype=jnp.bfloat16 if args.bf16
+                             else jnp.float32)
     cfg = TrainerConfig(
         out_dir=args.out_dir, epochs=args.epochs, batch_size=args.batch_size,
         num_frames=args.num_frames, lr=args.lr, weight_decay=args.weight_decay,
