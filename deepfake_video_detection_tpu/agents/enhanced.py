@@ -116,7 +116,10 @@ class EnhancedDecisionAgent:
             return result
 
         is_fake = adjusted_prob > self.decision_threshold
-        confidence = abs(adjusted_prob - self.decision_threshold) * 2.0
+        # |p − thr|·2 is only a [0,1] scale when thr = 0.5; with calibrated
+        # thresholds it can exceed 1 (the reference reports >100% confidences
+        # here — we clamp instead)
+        confidence = min(1.0, abs(adjusted_prob - self.decision_threshold) * 2.0)
         confidence *= max(0.0, agreement) * (1.0 - self.uncertainty_penalty * uncertainty)
 
         alert_level = self._alert_level(adjusted_prob, uncertainty)

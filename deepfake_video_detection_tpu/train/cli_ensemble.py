@@ -41,6 +41,7 @@ def main(argv=None) -> int:
     ap.add_argument("--torch-export", action="store_true")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 activations (params stay f32)")
+    ap.add_argument("--no-augment", dest="no_augment", action="store_true")
     args = ap.parse_args(argv)
 
     backbones = [b.strip() for b in args.backbones.split(",") if b.strip()]
@@ -59,6 +60,7 @@ def main(argv=None) -> int:
         loss="ce", balance="weights", grad_clip=1.0,
         best_metric=args.best_metric, threshold_sweep=True,
         smoke=args.smoke, keep_torch_export=args.torch_export,
+        augment=not args.no_augment,
         model_config={"model_type": "ensemble", "backbones": backbones,
                       "ensemble_method": args.ensemble_method},
     )

@@ -124,3 +124,13 @@ def test_active_learner_queue_and_drain(tmp_path):
     # telemetry wrote events
     events = [json.loads(x) for x in open(tmp_path / "telemetry.log")]
     assert any(e["event"] == "queued_for_label" for e in events)
+
+
+def test_enhanced_agent_confidence_clamped_with_calibrated_threshold():
+    """With a calibrated threshold far from 0.5, |p-thr|*2 exceeds 1 — the
+    agent must clamp (the reference reports >100% confidence here)."""
+    agent = EnhancedDecisionAgent(decision_threshold=0.05)
+    p = agent.process_ensemble_output(np.array([-4.0, 4.0]), [], np.zeros(4),
+                                      "v", 0.0)
+    assert p.is_fake is True
+    assert 0.0 <= p.confidence <= 1.0
