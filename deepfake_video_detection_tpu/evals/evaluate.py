@@ -139,6 +139,14 @@ def build_model_from_checkpoint(sd: Dict[str, np.ndarray], meta: Dict[str, Any],
     elif mt == "ensemble":
         backbones = cfg.get("backbones") or ["efficientnet_b0"] * infer_ensemble_count(sd)
         model = EnsembleDetector(backbones)
+    elif mt in ("temporal", "temporal_transformer"):
+        from deepfake_video_detection_tpu.models.temporal_transformer import (
+            TemporalTransformerDetector)
+        model = TemporalTransformerDetector(
+            cfg.get("backbone", "efficientnet_b0"),
+            d_model=int(np.shape(sd["cls_token"])[-1]) if "cls_token" in sd
+            else cfg.get("d_model", 256),
+            depth=cfg.get("depth", 4), num_heads=cfg.get("num_heads", 4))
     else:
         model = BackboneDetector(cfg.get("backbone", "efficientnet_b0"))
     template = model.init(jax.random.PRNGKey(0))

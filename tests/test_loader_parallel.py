@@ -76,3 +76,16 @@ def test_mesh_spec_and_helpers():
     assert dev["x"].sharding.is_equivalent_to(sh, 2)
     rep = replicate({"w": np.ones(3, np.float32)}, mesh)
     assert rep["w"].sharding.num_devices == 8
+
+
+def test_global_batch_from_local_single_process():
+    from deepfake_video_detection_tpu.parallel.multihost import (
+        global_batch_from_local, local_batch_size)
+
+    mesh = make_mesh()
+    batch = {"frames": np.ones((8, 2, 4, 4, 3), np.uint8),
+             "labels": np.arange(8, dtype=np.int64)}
+    out = global_batch_from_local(batch, mesh)
+    assert out["frames"].sharding.is_equivalent_to(batch_sharding(mesh), 5)
+    np.testing.assert_array_equal(np.asarray(out["labels"]), batch["labels"])
+    assert local_batch_size(64) == 64  # one process
