@@ -20,21 +20,35 @@ from deepfake_video_detection_tpu.parallel.mesh import make_mesh
 from deepfake_video_detection_tpu.train.trainer import Trainer, TrainerConfig
 
 
-def build_model(name: str, num_frames: int, vit_variant: str = "vit_tiny_patch16_224"):
+def build_model(name: str, num_frames: int, vit_variant: str = "vit_tiny_patch16_224",
+                backbone: str = "efficientnet_b0"):
     name = name.lower()
     if name in ("vit_gcn", "gcn"):
         model = FrameGraphDetector(vit_variant=vit_variant)
         return model, "chain", {"model_type": "vit_gcn", "vit_variant": vit_variant}
     if name in ("cnn_lstm", "cnnlstm"):
         return CNNLSTMHybrid(), None, {"model_type": "cnn_lstm"}
+    if name in ("pretrained", "backbone"):
+        from deepfake_video_detection_tpu.models.backbone_detector import (
+            BackboneDetector)
+        return (BackboneDetector(backbone), None,
+                {"model_type": "pretrained", "backbone": backbone})
+    if name in ("temporal", "temporal_transformer"):
+        from deepfake_video_detection_tpu.models.temporal_transformer import (
+            TemporalTransformerDetector)
+        return (TemporalTransformerDetector(backbone), None,
+                {"model_type": "temporal", "backbone": backbone})
     raise ValueError(f"unknown model {name!r}")
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="Train a deepfake video detector (TPU)")
     ap.add_argument("--data_dir", required=True)
-    ap.add_argument("--model", default="vit_gcn", choices=["vit_gcn", "cnn_lstm"])
+    ap.add_argument("--model", default="vit_gcn",
+                    choices=["vit_gcn", "cnn_lstm", "pretrained", "temporal"])
     ap.add_argument("--vit_variant", default="vit_tiny_patch16_224")
+    ap.add_argument("--backbone", default="efficientnet_b0",
+                    help="backbone for pretrained/temporal models")
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--num_frames", type=int, default=16)
@@ -53,7 +67,8 @@ def main(argv=None) -> int:
                            recursive=args.recursive)
     train_ds, val_ds = ds.split(0.2)
     model, adjacency, model_config = build_model(args.model, args.num_frames,
-                                                 args.vit_variant)
+                                                 args.vit_variant,
+                                                 args.backbone)
     cfg = TrainerConfig(
         out_dir=args.out_dir, epochs=args.epochs, batch_size=args.batch_size,
         num_frames=args.num_frames, lr=args.lr, optimizer="adam",
