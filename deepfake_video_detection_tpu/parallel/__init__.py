@@ -6,3 +6,7 @@ from deepfake_video_detection_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     replicate,
 )
+from deepfake_video_detection_tpu.parallel.multihost import (  # noqa: F401
+    global_batch_from_local,
+    local_batch_size,
+)

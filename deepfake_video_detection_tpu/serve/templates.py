@@ -187,7 +187,15 @@ def dashboard_page(user: Optional[str], uploads: List[Dict[str, Any]]) -> str:
              f"{rows}</table>" if rows else
              '<p class="muted">No uploads yet.</p>')
     body = f"""
+<div class="card"><h2>Analyze a video</h2>
+<p><input type="file" id="vid" accept="video/*">
+<button onclick="apiUpload()">Upload &amp; analyze</button>
+<span class="muted" id="upstatus"></span></p></div>
 <div class="card"><h2>Upload history</h2>{table}</div>
+<div class="card"><h2>Model</h2>
+<p><input type="text" id="ckpt" placeholder="checkpoint path on server">
+<button onclick="loadModel()">Load model</button>
+<span class="muted" id="mstatus"></span></p></div>
 <div class="card"><h2>Training metrics</h2>
 <svg id="chart" width="780" height="200" viewBox="0 0 780 200"></svg>
 <p class="muted" id="chart-note">Per-epoch accuracy/F1/AUC recomputed from
@@ -235,6 +243,33 @@ async function send() {{
   const j = await r.json();
   log.innerHTML += '<p class="chat-msg-bot">Bot: ' + (j.reply || j.error) + '</p>';
   log.scrollTop = log.scrollHeight;
+}}
+async function loadModel() {{
+  const path = document.getElementById('ckpt').value;
+  const el = document.getElementById('mstatus');
+  el.textContent = 'loading…';
+  const r = await fetch('/api/load-model', {{method: 'POST',
+    headers: {{'Content-Type': 'application/json'}},
+    body: JSON.stringify({{path}})}});
+  const j = await r.json();
+  el.textContent = j.ok ? ('loaded ' + j.stats.model_type +
+    ' (match ' + j.stats.match_ratio.toFixed(2) + ')') : (j.error || 'failed');
+}}
+async function apiUpload() {{
+  const inp = document.getElementById('vid');
+  const el = document.getElementById('upstatus');
+  if (!inp.files.length) {{ el.textContent = 'pick a file first'; return; }}
+  el.textContent = 'analyzing…';
+  const fd = new FormData();
+  fd.append('video', inp.files[0]);
+  const r = await fetch('/api/upload', {{method: 'POST', body: fd}});
+  const j = await r.json();
+  if (j.uploads) {{
+    el.textContent = j.uploads[0].filename + ' → ' + j.uploads[0].verdict;
+    setTimeout(() => window.location.reload(), 1200);
+  }} else {{
+    el.textContent = j.error || 'failed';
+  }}
 }}
 </script>"""
     return _page("Dashboard", body, user)
