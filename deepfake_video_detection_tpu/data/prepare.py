@@ -166,8 +166,7 @@ def prepare_frames_group(name: str, image_paths: List[str], out_dir: str,
     if extractor is not None:
         faces = extractor.extract_from_frames(frames)
     else:  # --frames-are-faces: resize only
-        from deepfake_video_detection_tpu.data.faces import (
-            center_square_boxes, crop_and_resize_batch)
+        from deepfake_video_detection_tpu.data.faces import crop_and_resize_batch
         n, H, W = frames.shape[0], frames.shape[1], frames.shape[2]
         boxes = np.tile(np.array([0, 0, W, H], np.float32), (n, 1))
         faces = crop_and_resize_batch(frames, boxes, 224)

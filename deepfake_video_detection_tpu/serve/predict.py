@@ -132,7 +132,6 @@ class Predictor:
     # ------------------------------------------------------------------
 
     def _predict(self, video_path: str) -> Dict[str, Any]:
-        abstain_conf = env_float("DETECT_ABSTAIN_CONF", 0.60)
         if self.model_type in ("pretrained", "ensemble_pretrained", "temporal"):
             max_frames = max(1, min(64, env_int("MAX_FRAMES", 8)))
             faces = self.extractor.extract_from_video(video_path,
