@@ -119,7 +119,7 @@ class FaceExtractor:
 
     # -- detection ------------------------------------------------------------
 
-    def _detect_mtcnn(self, frames: np.ndarray) -> np.ndarray:
+    def _detect_mtcnn(self, frames: np.ndarray):
         import jax
         import jax.numpy as jnp
 
@@ -137,14 +137,17 @@ class FaceExtractor:
                     self._mtcnn_params = import_facenet_weights(sd)
                 else:
                     self._mtcnn_params = det.init(jax.random.PRNGKey(0))
-            fn = jax.jit(lambda img: det.detect(self._mtcnn_params, img))
+            # one vmapped+jitted dispatch per CLIP: the fixed-shape cascade
+            # maps cleanly over the frame axis
+            fn = jax.jit(jax.vmap(
+                lambda img: det.detect(self._mtcnn_params, img)))
             self._mtcnn_cache[key] = fn
         fn = self._mtcnn_cache[key]
+        all_boxes, all_scores, all_valid = fn(jnp.asarray(frames))
+        all_boxes = np.asarray(all_boxes)
+        all_valid = np.asarray(all_valid)
         boxes_out = []
-        for frame in frames:
-            boxes, scores, valid = fn(jnp.asarray(frame))
-            boxes, scores, valid = (np.asarray(boxes), np.asarray(scores),
-                                    np.asarray(valid))
+        for boxes, valid in zip(all_boxes, all_valid):
             if not valid.any():
                 boxes_out.append(None)
             elif self.keep_all:

@@ -216,3 +216,17 @@ def test_prepare_cli_zip_archive(test_video, tmp_path):
     assert rc == 0
     files = [f for f in out.glob("*.npz")]
     assert len(files) == 1 and "fake" in files[0].name
+
+
+def test_mtcnn_extractor_batched_path():
+    """The mtcnn detector path runs one vmapped dispatch per clip and falls
+    back to the center prior when no detections pass the thresholds
+    (random weights rarely fire)."""
+    ex = FaceExtractor(detector="mtcnn", face_size=32, mtcnn_weights=None)
+    # no weights → constructor degrades to center, so force mtcnn for the test
+    ex.detector = "mtcnn"
+    frames = np.random.default_rng(0).integers(
+        0, 256, (3, 96, 96, 3)).astype(np.uint8)
+    faces = ex.extract_from_frames(frames)
+    assert faces.shape[1:] == (32, 32, 3)
+    assert faces.shape[0] >= 1
