@@ -64,11 +64,21 @@ class VideoFacesDataset:
     ):
         pattern = os.path.join(data_dir, "**", "*.npz") if recursive \
             else os.path.join(data_dir, "*.npz")
-        self.files: List[str] = sorted(_glob.glob(pattern, recursive=recursive))
+        candidates = sorted(_glob.glob(pattern, recursive=recursive))
+        # keep only real face stacks — checkpoints and other .npz artifacts
+        # may share the directory (zip-directory read only; no decompression)
+        self.files: List[str] = []
+        for path in candidates:
+            try:
+                with np.load(path, allow_pickle=False) as z:
+                    if "faces" in z.files:
+                        self.files.append(path)
+            except (OSError, ValueError):
+                continue
         if max_samples is not None:
             self.files = self.files[:max_samples]
         if not self.files:
-            raise FileNotFoundError(f"no .npz files under {data_dir}")
+            raise FileNotFoundError(f"no face-stack .npz files under {data_dir}")
         self.num_frames = num_frames
         self._labels: Dict[int, int] = {}
 
