@@ -62,21 +62,34 @@ def main() -> None:
     import jax
 
     from deepfake_video_detection_tpu.data.faces import FaceExtractor
-    from deepfake_video_detection_tpu.data.video import sample_video_frames
-    from __graft_entry__ import entry
+    from deepfake_video_detection_tpu.data.normalize import imagenet_normalize
+    from deepfake_video_detection_tpu.ops.yuv import yuv420_packed_to_rgb
+    from __graft_entry__ import _flagship
 
     paths = _ensure_clips()
-    fn, (variables, _) = entry()
-    jfn = jax.jit(fn)
-    variables = jax.device_put(variables)
+    model = _flagship()
+    variables = jax.device_put(model.init(jax.random.PRNGKey(0)))
 
-    extractor = FaceExtractor(detector="center", face_size=224)
+    FACE = 224
+
+    # Serving pipeline, transfer-optimal: the host ships PACKED YUV420 face
+    # crops (0.59 MB/clip vs 1.20 MB RGB — the host→device link is this
+    # host's bottleneck at ~38 MB/s); the colorspace matrix + normalize run
+    # on device where XLA fuses them into the detector stem.
+    @jax.jit
+    def jfn(variables, packed):
+        rgb = yuv420_packed_to_rgb(packed, FACE, FACE)      # (B,T,H,W,3) f32
+        x = imagenet_normalize(rgb / 255.0, scaled=True)
+        (logits, frame_scores), _ = model.apply(variables, x, train=False)
+        return jax.nn.softmax(logits, axis=-1), frame_scores
+
+    extractor = FaceExtractor(detector="center", face_size=FACE)
 
     def decode_and_extract(path: str) -> np.ndarray:
-        # keyframe sampling: GOP 12 → ~25 keyframes per clip; take every 3rd.
-        # decode+crop+resize all happen inside the C++ worker (GIL-free).
-        faces = extractor.extract_from_video(path, sample_rate=3,
-                                             max_frames=T, keyframes_only=True)
+        # seek-based sampling: exactly T keyframes, evenly spread — one seek
+        # + one intra-frame decode per sample, crop+resize+YUV pack inside
+        # the C++ worker (GIL-free). ~3× less host decode than scanning.
+        faces = extractor.extract_from_video_yuv(path, max_frames=T)
         if faces.shape[0] < T:  # repeat-pad short clips to the static shape
             pad = np.repeat(faces[-1:], T - faces.shape[0], axis=0)
             faces = np.concatenate([faces, pad])
@@ -120,9 +133,10 @@ def main() -> None:
     print(json.dumps({
         "metric": "e2e_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),
-        "unit": (f"clips/s end-to-end (decode 360p/300fr + crop + B0 fwd, "
-                 f"T={T}, bf16; host decode-bound at {ncpu} CPU core(s) — "
-                 f"chip fwd alone sustains >1200 clips/s)"),
+        "unit": (f"clips/s end-to-end (seek-decode 360p/300fr + crop + YUV420 "
+                 f"transfer + on-device RGB+norm + B0 fwd, T={T}, bf16; "
+                 f"{ncpu} CPU core(s) host — chip fwd alone sustains "
+                 f">1200 clips/s)"),
         "vs_baseline": round(clips_per_sec / baseline, 3),
     }))
 

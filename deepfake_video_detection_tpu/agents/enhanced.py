@@ -77,10 +77,18 @@ class EnhancedDecisionAgent:
         frame_scores,
         video_id: str,
         uncertainty: float = 0.0,
+        decision_threshold: Optional[float] = None,
+        fake_class_index: Optional[int] = None,
     ) -> EnsemblePrediction:
+        """Per-call ``decision_threshold``/``fake_class_index`` overrides let
+        concurrent serving requests use their own calibration without mutating
+        this shared agent (the instance attributes stay the defaults)."""
+        threshold = (self.decision_threshold if decision_threshold is None
+                     else float(decision_threshold))
         ensemble_logits = np.atleast_2d(np.asarray(ensemble_logits, np.float64))
         frame_scores = np.squeeze(np.asarray(frame_scores, np.float32))
-        idx = self.fake_class_index
+        idx = (self.fake_class_index if fake_class_index is None
+               else int(fake_class_index))
 
         ensemble_probs = _softmax(ensemble_logits / self.temperature)[0]
         fake_prob = float(ensemble_probs[idx])
@@ -115,11 +123,11 @@ class EnhancedDecisionAgent:
             self._queue(video_id, adjusted_prob, confidence, uncertainty)
             return result
 
-        is_fake = adjusted_prob > self.decision_threshold
+        is_fake = adjusted_prob > threshold
         # |p − thr|·2 is only a [0,1] scale when thr = 0.5; with calibrated
         # thresholds it can exceed 1 (the reference reports >100% confidences
         # here — we clamp instead)
-        confidence = min(1.0, abs(adjusted_prob - self.decision_threshold) * 2.0)
+        confidence = min(1.0, abs(adjusted_prob - threshold) * 2.0)
         confidence *= max(0.0, agreement) * (1.0 - self.uncertainty_penalty * uncertainty)
 
         alert_level = self._alert_level(adjusted_prob, uncertainty)

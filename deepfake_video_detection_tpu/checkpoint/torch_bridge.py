@@ -39,13 +39,29 @@ from deepfake_video_detection_tpu.utils.tree import flatten_dotted, unflatten_do
 
 
 def load_torch_file(path: str) -> Dict[str, Any]:
-    """Read a ``.pt`` file into plain numpy (CPU, weights only when possible)."""
+    """Read a ``.pt`` file into plain numpy (CPU, weights-only).
+
+    ``weights_only=True`` is the only default: full pickle deserialisation
+    executes arbitrary code, and this loader is reachable from the serving
+    autoload scan and the ``/api/load-model`` route. Legacy pickles that
+    genuinely need it must be opted in with ``ALLOW_UNSAFE_TORCH_LOAD=1``.
+    """
+    import os
+
     import torch
 
     try:
         obj = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
-        obj = torch.load(path, map_location="cpu", weights_only=False)
+    except Exception as exc:
+        if os.environ.get("ALLOW_UNSAFE_TORCH_LOAD", "0").lower() in (
+                "1", "true", "yes"):
+            obj = torch.load(path, map_location="cpu", weights_only=False)
+        else:
+            raise ValueError(
+                f"{path}: not loadable with weights_only=True ({exc}). "
+                "If this checkpoint is trusted, set ALLOW_UNSAFE_TORCH_LOAD=1 "
+                "to permit full pickle deserialisation."
+            ) from exc
     return _to_numpy(obj)
 
 

@@ -86,13 +86,15 @@ class VideoFacesDataset:
         return len(self.files)
 
     def label(self, i: int) -> int:
-        """Label without decoding the face stack (reads the npz header only
-        when the filename doesn't carry it)."""
+        """Label without decoding the face stack (the ``label`` member is a
+        scalar — np.load only decompresses that one zip entry). Precedence is
+        stored-label-first, identical to ``__getitem__``, so class weights and
+        the weighted sampler always agree with the training targets."""
         if i not in self._labels:
-            lab = infer_label(self.files[i])
+            with np.load(self.files[i]) as z:
+                lab = int(z["label"]) if "label" in z.files else None
             if lab is None:
-                with np.load(self.files[i]) as z:
-                    lab = int(z["label"]) if "label" in z.files else 0
+                lab = infer_label(self.files[i]) or 0
             self._labels[i] = int(lab)
         return self._labels[i]
 

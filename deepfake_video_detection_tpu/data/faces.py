@@ -203,14 +203,23 @@ class FaceExtractor:
             # fast path: crop+resize inside the C++ decode worker — no
             # per-clip device round-trips, decode threads run GIL-free
             from deepfake_video_detection_tpu.data.video import (
-                sample_video_faces_center)
+                sample_video_faces_center, sample_video_faces_spread)
 
-            if sample_rate is None:
-                sample_rate = max(1, _env_int("VIDEO_SAMPLE_RATE", 5))
             if keyframes_only is None:
                 keyframes_only = os.environ.get(
                     "VIDEO_KEYFRAMES_ONLY", "").strip().lower() in (
                     "1", "true", "yes")
+            if keyframes_only and os.environ.get(
+                    "VIDEO_SEEK_SAMPLING", "1").strip().lower() in (
+                    "1", "true", "yes"):
+                # seek-based: exactly max_frames keyframe decodes, evenly
+                # spread — strictly less host work AND better temporal
+                # coverage than scanning every sample_rate-th keyframe
+                return sample_video_faces_spread(
+                    path, face_size=self.face_size, n_frames=max_frames,
+                    margin=self.margin)
+            if sample_rate is None:
+                sample_rate = max(1, _env_int("VIDEO_SAMPLE_RATE", 5))
             return sample_video_faces_center(
                 path, face_size=self.face_size, sample_rate=sample_rate,
                 max_frames=max_frames, margin=self.margin,
@@ -219,3 +228,21 @@ class FaceExtractor:
                                      max_frames=max_frames,
                                      keyframes_only=keyframes_only)
         return self.extract_from_frames(frames)
+
+    def extract_from_video_yuv(self, path: str,
+                               max_frames: Optional[int] = None) -> np.ndarray:
+        """Transfer-optimal serving path (center detector only): seek-sampled
+        face crops as PACKED planar YUV420, (N, face_size²·3/2) uint8 — half
+        the host→device bytes of RGB. Decode on device with
+        ``ops.yuv.yuv420_packed_to_rgb``."""
+        if self.detector != "center":
+            raise ValueError("YUV fast path requires detector='center' "
+                             f"(got {self.detector!r})")
+        from deepfake_video_detection_tpu.data.video import (
+            sample_video_faces_spread_yuv)
+
+        if max_frames is None:
+            max_frames = max(1, min(_env_int("MAX_FRAMES", 8), 64))
+        return sample_video_faces_spread_yuv(
+            path, face_size=self.face_size, n_frames=max_frames,
+            margin=self.margin)

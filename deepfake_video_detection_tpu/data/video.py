@@ -79,6 +79,13 @@ def _get_lib():
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_char_p, ctypes.c_int]
         lib.vd_sample_crop.restype = ctypes.c_int
+        lib.vd_sample_seek_crop.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_char_p, ctypes.c_int]
+        lib.vd_sample_seek_crop.restype = ctypes.c_int
+        lib.vd_sample_seek_crop_yuv.argtypes = lib.vd_sample_seek_crop.argtypes
+        lib.vd_sample_seek_crop_yuv.restype = ctypes.c_int
         lib.vd_encode.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
@@ -172,6 +179,62 @@ def sample_video_faces_center(
                            1 if keyframes_only else 0,
                            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                            err, 256)
+    if n < 0:
+        raise VideoDecodeError(f"{path}: {err.value.decode(errors='replace')}")
+    return out[:n]
+
+
+def sample_video_faces_spread(
+    path: str,
+    face_size: int = 224,
+    n_frames: int = 8,
+    margin: float = 0.1,
+) -> np.ndarray:
+    """Decode EXACTLY ``n_frames`` keyframes evenly spread over the clip,
+    center-square-cropped + resized inside the C++ decoder (seek-based:
+    one container seek + one intra-frame decode per sample — ~3× less
+    decode work than scanning every keyframe, with full temporal coverage).
+    Returns (N, face_size, face_size, 3) uint8."""
+    lib = _get_lib()
+    w, h, _, _ = probe_video(path)
+    side = int(min(w, h) * (1.0 - margin))
+    x0 = (w - side) // 2
+    y0 = (h - side) // 2
+    out = np.empty((n_frames, face_size, face_size, 3), np.uint8)
+    err = ctypes.create_string_buffer(256)
+    n = lib.vd_sample_seek_crop(path.encode(), int(n_frames), x0, y0, side,
+                                side, face_size, face_size,
+                                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                                err, 256)
+    if n < 0:
+        raise VideoDecodeError(f"{path}: {err.value.decode(errors='replace')}")
+    return out[:n]
+
+
+def sample_video_faces_spread_yuv(
+    path: str,
+    face_size: int = 224,
+    n_frames: int = 8,
+    margin: float = 0.1,
+) -> np.ndarray:
+    """Like :func:`sample_video_faces_spread` but returns PACKED planar
+    YUV420 — (N, face_size*face_size*3//2) uint8, Y then U then V per frame,
+    HALF the bytes of RGB. Convert on device with
+    ``ops.yuv.yuv420_packed_to_rgb`` (the host→device link is the serving
+    bottleneck; the colorspace matrix fuses into normalization on chip)."""
+    assert face_size % 2 == 0, "yuv420 needs an even face size"
+    lib = _get_lib()
+    w, h, _, _ = probe_video(path)
+    side = int(min(w, h) * (1.0 - margin))
+    x0 = (w - side) // 2
+    y0 = (h - side) // 2
+    frame_bytes = face_size * face_size * 3 // 2
+    out = np.empty((n_frames, frame_bytes), np.uint8)
+    err = ctypes.create_string_buffer(256)
+    n = lib.vd_sample_seek_crop_yuv(
+        path.encode(), int(n_frames), x0, y0, side, side, face_size,
+        face_size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        err, 256)
     if n < 0:
         raise VideoDecodeError(f"{path}: {err.value.decode(errors='replace')}")
     return out[:n]

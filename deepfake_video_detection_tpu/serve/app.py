@@ -593,6 +593,19 @@ class App:
             path = data.get("path") or data.get("checkpoint")
             if not path or not os.path.exists(path):
                 return Response.json({"error": "checkpoint path not found"}, 400)
+            # Unauthenticated route: confine loadable paths to the checkpoints
+            # tree so it cannot be used to deserialise arbitrary server files
+            # (the reference accepts any path, app.py:3175 — deliberately
+            # diverge; opt back in with ALLOW_ANY_MODEL_PATH=1).
+            if os.environ.get("ALLOW_ANY_MODEL_PATH", "0").lower() not in (
+                    "1", "true", "yes"):
+                root = os.path.realpath(app.checkpoints_root)
+                real = os.path.realpath(path)
+                if os.path.commonpath([root, real]) != root:
+                    return Response.json(
+                        {"error": "checkpoint path outside the checkpoints "
+                                  "root (set ALLOW_ANY_MODEL_PATH=1 to "
+                                  "permit)"}, 403)
             try:
                 model, variables, stats = loader_mod.load_model(
                     path, data.get("model_type"))

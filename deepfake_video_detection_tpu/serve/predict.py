@@ -192,13 +192,13 @@ class Predictor:
             member_probs = np.exp(x) / np.exp(x).sum(-1, keepdims=True)
             ind = member_probs[:, fake_idx]
             uncertainty = float(np.std(ind)) if ind.shape[0] >= 2 else 0.0
-            old_thr = self.enhanced_agent.decision_threshold
             try:
-                self.enhanced_agent.decision_threshold = thr
-                self.enhanced_agent.fake_class_index = fake_idx
+                # per-call overrides (not attribute mutation): the agent is
+                # shared across the ThreadingWSGIServer's request threads
                 pred = self.enhanced_agent.process_ensemble_output(
                     np.asarray(logits)[0], list(member_np),
-                    np.asarray(frame_scores)[0], video_id, uncertainty)
+                    np.asarray(frame_scores)[0], video_id, uncertainty,
+                    decision_threshold=thr, fake_class_index=fake_idx)
                 agent_payload = {
                     "is_fake": bool(pred.is_fake) if pred.is_fake is not None else None,
                     "ensemble_prob": float(pred.ensemble_prob),
@@ -213,8 +213,6 @@ class Predictor:
                 confidence = float(agent_payload["confidence"])
             except Exception:
                 agent_payload = None
-            finally:
-                self.enhanced_agent.decision_threshold = old_thr
 
         base = {"prob_real": prob_real, "prob_fake": prob_fake,
                 "num_faces": num_faces, "threshold": thr,

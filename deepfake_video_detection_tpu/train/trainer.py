@@ -249,7 +249,7 @@ class Trainer:
     # epoch loops
     # ------------------------------------------------------------------
 
-    def _make_loader(self, ds, train: bool) -> Loader:
+    def _make_loader(self, ds, train: bool, epoch: int = 0) -> Loader:
         if self.cfg.smoke:
             from deepfake_video_detection_tpu.data.dataset import SubsetDataset
             base = getattr(ds, "base", ds)
@@ -259,11 +259,17 @@ class Trainer:
         if self.mesh is not None:
             mult = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names
                                 if a == "data"]))
-        return Loader(ds, self.cfg.batch_size,
-                      shuffle=train,
-                      weighted=train and self.cfg.balance == "sampler",
-                      seed=self.cfg.seed, num_workers=4,
-                      pad_to_multiple=mult)
+        loader = Loader(ds, self.cfg.batch_size,
+                        shuffle=train,
+                        weighted=train and self.cfg.balance == "sampler",
+                        seed=self.cfg.seed, num_workers=4,
+                        pad_to_multiple=mult)
+        # The loader draws indices from rng(seed + epoch): carry the trainer's
+        # epoch in so each epoch sees a fresh permutation / bootstrap (the
+        # reference reshuffles per epoch), and a resumed run at epoch k draws
+        # the same order an uninterrupted run would.
+        loader.epoch = epoch
+        return loader
 
     def _attach_adjacency(self, batch: Dict[str, Any]) -> Dict[str, Any]:
         if self._adjacency is not None:
@@ -273,7 +279,7 @@ class Trainer:
         return batch
 
     def train_epoch(self, state: TrainState, epoch: int) -> tuple:
-        loader = self._make_loader(self.train_ds, train=True)
+        loader = self._make_loader(self.train_ds, train=True, epoch=epoch)
         rng = jax.random.PRNGKey(self.cfg.seed * 9973 + epoch)
         tot_loss, tot_correct, tot_count = 0.0, 0, 0
         t0 = time.time()

@@ -53,7 +53,7 @@ void close_ctx(Ctx* c) {
   delete c;
 }
 
-Ctx* open_ctx(const char* path, char* err, int errlen) {
+Ctx* open_ctx(const char* path, char* err, int errlen, int threads = 0) {
   Ctx* c = new Ctx();
   int rc = avformat_open_input(&c->fmt, path, nullptr, nullptr);
   if (rc < 0) {
@@ -77,13 +77,47 @@ Ctx* open_ctx(const char* path, char* err, int errlen) {
   c->dec = avcodec_alloc_context3(codec);
   avcodec_parameters_to_context(c->dec,
                                 c->fmt->streams[c->stream_idx]->codecpar);
-  c->dec->thread_count = 0;  // auto frame/slice threading
+  c->dec->thread_count = threads;  // 0 = auto frame/slice threading
   if (avcodec_open2(c->dec, codec, nullptr) < 0) {
     snprintf(err, errlen, "codec open failed");
     close_ctx(c);
     return nullptr;
   }
   return c;
+}
+
+// Keyframe-sampling fast path: drop non-key packets at DEMUX (never sent to
+// the decoder at all — `dec->skip_frame` alone still parses them), and skip
+// the in-loop deblocking filter: detector inputs are downscaled face crops,
+// not display frames, so loop-filter fidelity is irrelevant.
+void enable_keyframe_fast_path(Ctx* c) {
+  c->fmt->streams[c->stream_idx]->discard = AVDISCARD_NONKEY;
+  c->dec->skip_frame = AVDISCARD_NONKEY;
+  c->dec->skip_loop_filter = AVDISCARD_ALL;
+}
+
+// Bytes-per-pixel step of a plane's first component (1 for 8-bit planar;
+// 2 for 10/12/16-bit or packed-luma formats) — crop x-offsets are in BYTES.
+int plane_bpp(const AVPixFmtDescriptor* desc, int plane) {
+  if (!desc) return 1;
+  for (int i = 0; i < desc->nb_components; ++i)
+    if (desc->comp[i].plane == plane) return std::max(1, desc->comp[i].step);
+  return 1;
+}
+
+// Compute the per-plane cropped source pointers for sws_scale.
+void crop_src_planes(const AVFrame* f, const AVPixFmtDescriptor* desc,
+                     int crop_x, int crop_y, const uint8_t* src[4]) {
+  for (int p = 0; p < 4; ++p) src[p] = nullptr;
+  for (int p = 0; p < 4 && f->data[p]; ++p) {
+    int sx = crop_x, sy = crop_y;
+    if (p == 1 || p == 2) {  // chroma planes
+      sx >>= (desc ? desc->log2_chroma_w : 1);
+      sy >>= (desc ? desc->log2_chroma_h : 1);
+    }
+    src[p] = f->data[p] + (size_t)sy * f->linesize[p] +
+             (size_t)sx * plane_bpp(desc, p);
+  }
 }
 
 }  // namespace
@@ -120,7 +154,7 @@ int vd_sample(const char* path, int sample_rate, int max_frames, int out_w,
   if (sample_rate < 1) sample_rate = 1;
   Ctx* c = open_ctx(path, err, errlen);
   if (!c) return -1;
-  if (keyframes_only) c->dec->skip_frame = AVDISCARD_NONKEY;
+  if (keyframes_only) enable_keyframe_fast_path(c);
 
   c->sws = sws_getContext(c->dec->width, c->dec->height, c->dec->pix_fmt,
                           out_w, out_h, AV_PIX_FMT_RGB24,
@@ -183,7 +217,7 @@ int vd_sample_crop(const char* path, int sample_rate, int max_frames,
   if (sample_rate < 1) sample_rate = 1;
   Ctx* c = open_ctx(path, err, errlen);
   if (!c) return -1;
-  if (keyframes_only) c->dec->skip_frame = AVDISCARD_NONKEY;
+  if (keyframes_only) enable_keyframe_fast_path(c);
 
   const int W = c->dec->width, H = c->dec->height;
   if (crop_w <= 0 || crop_h <= 0) {
@@ -224,16 +258,8 @@ int vd_sample_crop(const char* path, int sample_rate, int max_frames,
   auto take = [&](AVFrame* f) {
     if (keyframes_only && !frame_is_key(f)) return;
     if (frame_idx % sample_rate == 0 && written < max_frames) {
-      const uint8_t* src[4] = {nullptr, nullptr, nullptr, nullptr};
-      for (int p = 0; p < 4 && f->data[p]; ++p) {
-        int sx = crop_x, sy = crop_y;
-        if (p == 1 || p == 2) {  // chroma planes
-          sx >>= (desc ? desc->log2_chroma_w : 1);
-          sy >>= (desc ? desc->log2_chroma_h : 1);
-        }
-        // bytes/px is 1 for all planar 8-bit formats we decode to
-        src[p] = f->data[p] + (size_t)sy * f->linesize[p] + sx;
-      }
+      const uint8_t* src[4];
+      crop_src_planes(f, desc, crop_x, crop_y, src);
       uint8_t* dst[1] = {out + (size_t)written * frame_bytes};
       int dst_stride[1] = {out_w * 3};
       sws_scale(c->sws, src, f->linesize, 0, crop_h, dst, dst_stride);
@@ -260,6 +286,182 @@ int vd_sample_crop(const char* path, int sample_rate, int max_frames,
   av_packet_free(&pkt);
   close_ctx(c);
   return written;
+}
+
+namespace {
+
+// Shared impl for the seek-based sparse samplers. `yuv_out` selects the
+// output packing:
+//   0 — packed RGB24, frame stride out_w*out_h*3;
+//   1 — planar YUV420P (Y then U then V per frame), frame stride
+//       out_w*out_h*3/2. HALF the bytes of RGB24 — built for hosts where
+//       the host→device link is the serving bottleneck; the YUV→RGB
+//       matrix runs on device where it fuses into normalization.
+int seek_sample_impl(const char* path, int n_frames, int crop_x, int crop_y,
+                     int crop_w, int crop_h, int out_w, int out_h,
+                     int yuv_out, uint8_t* out, char* err, int errlen) {
+  if (n_frames < 1) n_frames = 1;
+  if (yuv_out && ((out_w | out_h) & 1)) {
+    snprintf(err, errlen, "yuv output size must be even");
+    return -1;
+  }
+  // thread_count=1: frame-threaded decoders delay output by N frames, which
+  // defeats seek-decode-one; an intra frame decodes fast single-threaded.
+  Ctx* c = open_ctx(path, err, errlen, /*threads=*/1);
+  if (!c) return -1;
+  enable_keyframe_fast_path(c);
+
+  AVStream* st = c->fmt->streams[c->stream_idx];
+  int64_t start = st->start_time == AV_NOPTS_VALUE ? 0 : st->start_time;
+  int64_t dur = st->duration;
+  if (dur == AV_NOPTS_VALUE || dur <= 0) {
+    if (c->fmt->duration > 0)
+      dur = av_rescale_q(c->fmt->duration, AV_TIME_BASE_Q, st->time_base);
+    else
+      dur = 0;
+  }
+  bool seekable = dur > 0;
+
+  const int W = c->dec->width, H = c->dec->height;
+  if (crop_w <= 0 || crop_h <= 0) {
+    crop_x = crop_y = 0;
+    crop_w = W;
+    crop_h = H;
+  }
+  crop_x = std::max(0, std::min(crop_x, W - 2));
+  crop_y = std::max(0, std::min(crop_y, H - 2));
+  crop_w = std::min(crop_w, W - crop_x);
+  crop_h = std::min(crop_h, H - crop_y);
+  const AVPixFmtDescriptor* desc = av_pix_fmt_desc_get(c->dec->pix_fmt);
+  const int align_x = 1 << (desc ? desc->log2_chroma_w : 1);
+  const int align_y = 1 << (desc ? desc->log2_chroma_h : 1);
+  crop_x -= crop_x % align_x;
+  crop_y -= crop_y % align_y;
+
+  c->sws = sws_getContext(crop_w, crop_h, c->dec->pix_fmt, out_w, out_h,
+                          yuv_out ? AV_PIX_FMT_YUV420P : AV_PIX_FMT_RGB24,
+                          SWS_FAST_BILINEAR, nullptr, nullptr, nullptr);
+  if (!c->sws) {
+    snprintf(err, errlen, "swscale init failed");
+    close_ctx(c);
+    return -1;
+  }
+
+  const size_t frame_bytes =
+      yuv_out ? (size_t)out_w * out_h * 3 / 2 : (size_t)out_w * out_h * 3;
+  int written = 0;
+
+  auto write_frame = [&](AVFrame* f) {
+    const uint8_t* src[4];
+    crop_src_planes(f, desc, crop_x, crop_y, src);
+    uint8_t* base = out + (size_t)written * frame_bytes;
+    if (yuv_out) {
+      uint8_t* dst[3] = {base, base + (size_t)out_w * out_h,
+                         base + (size_t)out_w * out_h +
+                             (size_t)(out_w / 2) * (out_h / 2)};
+      int dst_stride[3] = {out_w, out_w / 2, out_w / 2};
+      sws_scale(c->sws, src, f->linesize, 0, crop_h, dst, dst_stride);
+    } else {
+      uint8_t* dst[1] = {base};
+      int dst_stride[1] = {out_w * 3};
+      sws_scale(c->sws, src, f->linesize, 0, crop_h, dst, dst_stride);
+    }
+    ++written;
+  };
+
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+
+  if (seekable) {
+    for (int i = 0; i < n_frames; ++i) {
+      // midpoints of n equal spans — unbiased coverage of the whole clip
+      int64_t target = start + dur * (2 * i + 1) / (2 * n_frames);
+      if (av_seek_frame(c->fmt, c->stream_idx, target, AVSEEK_FLAG_BACKWARD) <
+          0) {
+        seekable = false;
+        break;
+      }
+      avcodec_flush_buffers(c->dec);
+      bool got = false;
+      // demux discards non-key packets, so the first packet IS the keyframe
+      // at/before `target`; cap reads defensively for broken containers.
+      for (int reads = 0; !got && reads < 256; ++reads) {
+        if (av_read_frame(c->fmt, pkt) < 0) break;
+        if (pkt->stream_index != c->stream_idx) {
+          av_packet_unref(pkt);
+          continue;
+        }
+        int rc = avcodec_send_packet(c->dec, pkt);
+        av_packet_unref(pkt);
+        if (rc < 0) continue;
+        while (avcodec_receive_frame(c->dec, frame) == 0) {
+          if (!got) {
+            write_frame(frame);
+            got = true;
+          }
+        }
+      }
+      if (!got) break;  // EOF past the last keyframe — stop early
+    }
+  }
+
+  if (!seekable && written == 0) {
+    // no duration / unseekable container: sequential keyframe scan
+    av_seek_frame(c->fmt, c->stream_idx, start, AVSEEK_FLAG_BACKWARD);
+    avcodec_flush_buffers(c->dec);
+    bool done = false;
+    while (!done && av_read_frame(c->fmt, pkt) >= 0) {
+      if (pkt->stream_index == c->stream_idx) {
+        if (avcodec_send_packet(c->dec, pkt) == 0) {
+          while (!done && avcodec_receive_frame(c->dec, frame) == 0) {
+            if (frame_is_key(frame) && written < n_frames) write_frame(frame);
+            if (written >= n_frames) done = true;
+          }
+        }
+      }
+      av_packet_unref(pkt);
+    }
+    if (!done) {
+      avcodec_send_packet(c->dec, nullptr);
+      while (!done && avcodec_receive_frame(c->dec, frame) == 0) {
+        if (frame_is_key(frame) && written < n_frames) write_frame(frame);
+        if (written >= n_frames) done = true;
+      }
+    }
+  }
+
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  close_ctx(c);
+  return written;
+}
+
+}  // namespace
+
+// Seek-based sparse sampler: decode EXACTLY `n_frames` keyframes, evenly
+// spaced across the clip's duration, each cropped (crop_w/h <= 0 = full
+// frame) and scaled to (out_w, out_h) RGB24. This is the speed-of-light
+// host path for serving-style sampling (T of ~300 frames): per sample it
+// pays one container seek + ONE intra-frame decode — no scanning, no
+// inter-frame reconstruction, no loop filter. Falls back to a sequential
+// keyframe scan when the container has no usable duration/index.
+// Returns frames written, or -1.
+int vd_sample_seek_crop(const char* path, int n_frames, int crop_x,
+                        int crop_y, int crop_w, int crop_h, int out_w,
+                        int out_h, uint8_t* out, char* err, int errlen) {
+  return seek_sample_impl(path, n_frames, crop_x, crop_y, crop_w, crop_h,
+                          out_w, out_h, /*yuv_out=*/0, out, err, errlen);
+}
+
+// Same sampler, planar YUV420P output (Y, U, V per frame; U/V are
+// (out_h/2, out_w/2)). Frame stride is out_w*out_h*3/2 — HALF of RGB24,
+// for transfer-bound serving hosts. Limited-range BT.601 (swscale converts
+// full-range sources). Convert to RGB on device (ops/yuv.py).
+int vd_sample_seek_crop_yuv(const char* path, int n_frames, int crop_x,
+                            int crop_y, int crop_w, int crop_h, int out_w,
+                            int out_h, uint8_t* out, char* err, int errlen) {
+  return seek_sample_impl(path, n_frames, crop_x, crop_y, crop_w, crop_h,
+                          out_w, out_h, /*yuv_out=*/1, out, err, errlen);
 }
 
 // Test/fixture encoder: write `n` RGB24 frames (packed in `rgb`) as an

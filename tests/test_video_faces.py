@@ -230,3 +230,59 @@ def test_mtcnn_extractor_batched_path():
     faces = ex.extract_from_frames(frames)
     assert faces.shape[1:] == (32, 32, 3)
     assert faces.shape[0] >= 1
+
+
+def test_seek_spread_sampling(tmp_path):
+    """Seek-based sampler returns exactly n frames evenly spread over the
+    clip (brightness ramps with frame index → sampled means must span it)."""
+    from deepfake_video_detection_tpu.data.video import (
+        sample_video_faces_spread)
+
+    path = str(tmp_path / "ramp.avi")
+    frames = np.stack([np.full((64, 64, 3), 20 + i * 2, np.uint8)
+                       for i in range(100)])
+    encode_video(path, frames, fps=25)
+    out = sample_video_faces_spread(path, face_size=32, n_frames=6)
+    assert out.shape == (6, 32, 32, 3)
+    means = out.mean(axis=(1, 2, 3))
+    assert np.all(np.diff(means) > 0), f"not temporally ordered: {means}"
+    assert means[-1] - means[0] > 100, f"not spread over the clip: {means}"
+
+
+def test_seek_yuv_matches_rgb(tmp_path):
+    """Packed YUV420 + on-device conversion ≈ the native RGB24 decode
+    (same seek sampler, half the transfer bytes)."""
+    from deepfake_video_detection_tpu.data.video import (
+        sample_video_faces_spread, sample_video_faces_spread_yuv)
+    from deepfake_video_detection_tpu.ops.yuv import yuv420_packed_to_rgb
+
+    path = str(tmp_path / "color.avi")
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, (48, 48, 3)).astype(np.uint8)
+    frames = np.stack([np.clip(base.astype(np.int32) + 3 * i, 0, 255)
+                       .astype(np.uint8) for i in range(60)])
+    encode_video(path, frames, fps=25)
+
+    rgb = sample_video_faces_spread(path, face_size=32, n_frames=4)
+    packed = sample_video_faces_spread_yuv(path, face_size=32, n_frames=4)
+    assert packed.shape == (4, 32 * 32 * 3 // 2)
+    rgb2 = np.asarray(yuv420_packed_to_rgb(jnp.asarray(packed), 32, 32))
+    assert rgb2.shape == (4, 32, 32, 3)
+    # random per-pixel chroma is the worst case for the nearest-vs-filtered
+    # chroma upsample difference; require close mean + high correlation
+    # (smooth face-like content measures ≈1.8 mean abs diff)
+    diff = np.abs(rgb.astype(np.float32) - rgb2)
+    assert diff.mean() < 8.0, f"device YUV path diverges: mean {diff.mean()}"
+    a = rgb.astype(np.float32).ravel()
+    b = rgb2.ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.99, f"device YUV path decorrelated: r={corr}"
+
+
+def test_extract_from_video_yuv_api(test_video):
+    ex = FaceExtractor(detector="center", face_size=32)
+    packed = ex.extract_from_video_yuv(test_video, max_frames=3)
+    assert packed.shape == (3, 32 * 32 * 3 // 2)
+    ex_mtcnn = FaceExtractor(detector="none", face_size=32)
+    with pytest.raises(ValueError):
+        ex_mtcnn.extract_from_video_yuv(test_video)
