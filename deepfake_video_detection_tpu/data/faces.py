@@ -101,7 +101,11 @@ class FaceExtractor:
                  keep_all: Optional[bool] = None,
                  margin: float = 0.1,
                  mtcnn_weights: Optional[str] = None):
-        self.detector = (detector or os.environ.get("FACE_DETECTOR", "center")
+        self._mtcnn_weights = mtcnn_weights or os.environ.get("MTCNN_WEIGHTS")
+        default = ("mtcnn" if self._mtcnn_weights
+                   and os.path.exists(self._mtcnn_weights) else "center")
+        self.detector = (detector
+                         or os.environ.get("FACE_DETECTOR", default)
                          ).strip().lower()
         self.face_size = face_size or _env_int("FACE_SIZE", 224)
         if keep_all is None:
@@ -111,10 +115,16 @@ class FaceExtractor:
         self.margin = margin
         self._mtcnn_cache = {}
         self._mtcnn_params = None
-        self._mtcnn_weights = mtcnn_weights or os.environ.get("MTCNN_WEIGHTS")
         if self.detector == "mtcnn" and not self._mtcnn_weights:
-            # no learned weights available → degrade gracefully (≙ the
-            # reference's MTCNN→Haar fallback chain)
+            # no learned weights available → degrade (≙ the reference's
+            # MTCNN→Haar fallback chain) — LOUDLY, so detection quality
+            # doesn't silently become a center-crop prior in production
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "FACE_DETECTOR=mtcnn requested but MTCNN_WEIGHTS is unset — "
+                "falling back to the 'center' face prior. Export weights "
+                "with tools/export_facenet_mtcnn.py and set MTCNN_WEIGHTS.")
             self.detector = "center"
 
     # -- detection ------------------------------------------------------------
