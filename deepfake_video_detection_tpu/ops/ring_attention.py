@@ -20,7 +20,10 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+try:  # jax.shard_map is the stable home (>= 0.4.35)
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 _NEG_INF = -1e30
@@ -84,5 +87,9 @@ def ring_attention(
 
     bspec = batch_axis if batch_axis and batch_axis in mesh.shape else None
     spec = P(bspec, None, seq_axis, None)
-    return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
-                     out_specs=spec, check_rep=False)(q, k, v)
+    kwargs = dict(mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
+    try:  # stable jax.shard_map renamed check_rep → check_vma
+        wrapped = shard_map(local, check_vma=False, **kwargs)
+    except TypeError:  # pragma: no cover - older jax
+        wrapped = shard_map(local, check_rep=False, **kwargs)
+    return wrapped(q, k, v)

