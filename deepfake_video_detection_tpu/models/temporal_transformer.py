@@ -46,8 +46,19 @@ class TemporalTransformerDetector:
         dropout_rate: float = 0.1,
         max_frames: int = 4096,
         use_flash: bool = True,
+        use_cls: bool = True,
+        mesh: Optional[Any] = None,
+        seq_axis: Optional[str] = None,
+        batch_axis: Optional[str] = "data",
         compute_dtype: jnp.dtype = jnp.float32,
     ):
+        """``mesh`` + ``seq_axis``: sequence-parallel mode — the frame axis is
+        sharded over ``seq_axis`` and every attention runs as ring attention
+        (``ops/ring_attention.py``): KV shards rotate over ICI, memory per
+        chip is O(T/ring), the math is exact. Requires ``use_cls=False``
+        (T must divide the ring evenly; pooling replaces the cls token) and
+        T % mesh.shape[seq_axis] == 0.
+        """
         self.backbone = build_backbone(backbone_name, compute_dtype)
         self.backbone_name = backbone_name
         self.feature_dim = self.backbone.feature_dim
@@ -59,6 +70,13 @@ class TemporalTransformerDetector:
         self.dropout_rate = dropout_rate
         self.max_frames = max_frames
         self.use_flash = use_flash
+        self.use_cls = use_cls
+        self.mesh = mesh
+        self.seq_axis = seq_axis
+        self.batch_axis = batch_axis
+        if mesh is not None and seq_axis and use_cls:
+            raise ValueError("sequence-parallel mode needs use_cls=False "
+                             "(the +1 cls token breaks even T sharding)")
         self.compute_dtype = compute_dtype
 
     def init(self, rng: jax.Array) -> Dict[str, Params]:
@@ -100,7 +118,17 @@ class TemporalTransformerDetector:
         k = jnp.swapaxes(k, 1, 2)
         v = jnp.swapaxes(v, 1, 2)
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        if self.use_flash and on_tpu and N >= 256:
+        if self.mesh is not None and self.seq_axis:
+            # sequence parallel: frame axis sharded over the mesh; exact
+            # attention via the ppermute KV ring
+            from deepfake_video_detection_tpu.ops.ring_attention import (
+                ring_attention)
+
+            ba = (self.batch_axis if self.batch_axis
+                  and self.batch_axis in self.mesh.shape else None)
+            out = ring_attention(q, k, v, self.mesh,
+                                 seq_axis=self.seq_axis, batch_axis=ba)
+        elif self.use_flash and on_tpu and N >= 256:
             from deepfake_video_detection_tpu.ops.attention import flash_attention
             out = flash_attention(q, k, v)
         else:
@@ -135,8 +163,9 @@ class TemporalTransformerDetector:
         pe = jnp.concatenate([jnp.sin(angle), jnp.cos(angle)], axis=-1)
         y = y + pe[None].astype(y.dtype)
 
-        cls = jnp.broadcast_to(p["cls_token"].astype(y.dtype), (B, 1, D))
-        y = jnp.concatenate([cls, y], axis=1)
+        if self.use_cls:
+            cls = jnp.broadcast_to(p["cls_token"].astype(y.dtype), (B, 1, D))
+            y = jnp.concatenate([cls, y], axis=1)
 
         for i in range(self.depth):
             bp = p["blocks"][str(i)]
@@ -146,9 +175,17 @@ class TemporalTransformerDetector:
             y = y + L.linear(bp["mlp"]["fc2"], h)
 
         y = L.layer_norm(p["norm"], y)
-        cls_out = L.dropout(r_d, y[:, 0], self.dropout_rate, train)
-        logits = L.linear(p["head"], cls_out).astype(jnp.float32)
+        if self.use_cls:
+            pooled = y[:, 0]
+            tokens = y[:, 1:]
+        else:
+            # sequence-parallel mode: mean pool (a global mean over the
+            # sharded frame axis — XLA inserts the psum)
+            pooled = jnp.mean(y, axis=1)
+            tokens = y
+        pooled = L.dropout(r_d, pooled, self.dropout_rate, train)
+        logits = L.linear(p["head"], pooled).astype(jnp.float32)
         # frame scores: attention-free saliency = norm of each frame token
-        frame_scores = jnp.linalg.norm(y[:, 1:].astype(jnp.float32), axis=-1)
+        frame_scores = jnp.linalg.norm(tokens.astype(jnp.float32), axis=-1)
         frame_scores = jax.nn.softmax(frame_scores, axis=-1)
         return (logits, frame_scores), {"backbone": ns_bb}

@@ -290,3 +290,81 @@ def test_flagship_b0_through_trainer_and_serve_loader(npz_dir, tmp_path):
     np.testing.assert_allclose(
         np.asarray(lvars["params"]["fc2"]["weight"]),
         np.asarray(best_vars["params"]["fc2"]["weight"]), rtol=1e-6)
+
+
+def test_sp_temporal_transformer_matches_unsharded():
+    """Sequence parallelism (frame axis sharded over a `seq` mesh axis, ring
+    attention) must reproduce the unsharded train step exactly — SP is a
+    memory/scale choice, not a numerics choice (SURVEY.md §5.7)."""
+    import functools
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from deepfake_video_detection_tpu.models.temporal_transformer import (
+        TemporalTransformerDetector)
+    from deepfake_video_detection_tpu.train import losses as losses_mod
+    from deepfake_video_detection_tpu.train import optim as optim_mod
+    from deepfake_video_detection_tpu.train.state import TrainState
+    from deepfake_video_detection_tpu.train.steps import make_train_step
+
+    class TinyBackbone:
+        """Lightweight stand-in so the test compiles in seconds; the real
+        backbones have their own parity tests."""
+
+        feature_dim = 8
+
+        def init(self, rng):
+            from deepfake_video_detection_tpu.nn import init as I
+            return {"params": {"proj": {
+                "weight": I.kaiming_uniform(rng, (8, 3)),
+                "bias": I.zeros(8)}}, "state": {}}
+
+        def apply(self, variables, x, train=False, rng=None):
+            from deepfake_video_detection_tpu.nn import layers as L
+            feats = x.astype(jnp.float32).mean(axis=(1, 2))   # (N, 3)
+            return L.linear(variables["params"]["proj"], feats), {}
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("data", "seq"))
+
+    def build(sp: bool):
+        m = TemporalTransformerDetector(
+            d_model=16, depth=2, num_heads=2, dropout_rate=0.0,
+            use_flash=False, use_cls=False,
+            mesh=mesh if sp else None, seq_axis="seq" if sp else None)
+        m.backbone = TinyBackbone()
+        m.feature_dim = 8
+        return m
+
+    host_vars = jax.tree_util.tree_map(
+        np.asarray, build(False).init(jax.random.PRNGKey(0)))
+    tx = optim_mod.build_optimizer("adamw", 1e-2, grad_clip=1.0)
+    loss_fn = functools.partial(losses_mod.cross_entropy_loss)
+
+    rng = np.random.default_rng(0)
+    frames = rng.random((4, 8, 8, 8, 3)).astype(np.float32)
+    labels = (np.arange(4) % 2).astype(np.int64)
+
+    def run(sp: bool):
+        model = build(sp)
+        step = make_train_step(model, tx, loss_fn, mesh=None, donate=False)
+        if sp:
+            shard = NamedSharding(mesh, P("data", "seq"))
+            lab = NamedSharding(mesh, P("data"))
+            repl = NamedSharding(mesh, P())
+            variables = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, repl), host_vars)
+            batch = {"frames": jax.device_put(frames, shard),
+                     "labels": jax.device_put(labels, lab)}
+        else:
+            variables = jax.tree_util.tree_map(jax.device_put, host_vars)
+            batch = {"frames": jax.device_put(frames),
+                     "labels": jax.device_put(labels)}
+        state = TrainState.create(variables, tx)
+        new_state, m = step(state, batch, jax.random.PRNGKey(1))
+        head = np.asarray(new_state.params["head"]["weight"])
+        return float(m["loss"]), head
+
+    loss_sp, head_sp = run(True)
+    loss_1, head_1 = run(False)
+    assert loss_sp == pytest.approx(loss_1, rel=1e-5)
+    np.testing.assert_allclose(head_sp, head_1, rtol=1e-4, atol=1e-6)
