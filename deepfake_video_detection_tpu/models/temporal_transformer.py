@@ -50,6 +50,8 @@ class TemporalTransformerDetector:
         mesh: Optional[Any] = None,
         seq_axis: Optional[str] = None,
         batch_axis: Optional[str] = "data",
+        moe_experts: int = 0,
+        expert_axis: Optional[str] = None,
         compute_dtype: jnp.dtype = jnp.float32,
     ):
         """``mesh`` + ``seq_axis``: sequence-parallel mode — the frame axis is
@@ -58,6 +60,11 @@ class TemporalTransformerDetector:
         chip is O(T/ring), the math is exact. Requires ``use_cls=False``
         (T must divide the ring evenly; pooling replaces the cls token) and
         T % mesh.shape[seq_axis] == 0.
+
+        ``moe_experts > 0``: every block's MLP becomes a top-1-routed
+        mixture of experts (``nn/moe.py``). With ``mesh`` + ``expert_axis``
+        the experts shard over the mesh (expert parallelism); otherwise the
+        dense path runs — identical numerics either way.
         """
         self.backbone = build_backbone(backbone_name, compute_dtype)
         self.backbone_name = backbone_name
@@ -77,6 +84,11 @@ class TemporalTransformerDetector:
         if mesh is not None and seq_axis and use_cls:
             raise ValueError("sequence-parallel mode needs use_cls=False "
                              "(the +1 cls token breaks even T sharding)")
+        self.expert_axis = expert_axis
+        self.moe = None
+        if moe_experts:
+            from deepfake_video_detection_tpu.nn.moe import MoEMLP
+            self.moe = MoEMLP(d_model, self.mlp_hidden, moe_experts)
         self.compute_dtype = compute_dtype
 
     def init(self, rng: jax.Array) -> Dict[str, Params]:
@@ -92,6 +104,11 @@ class TemporalTransformerDetector:
         }
         it = iter(ks)
         for i in range(self.depth):
+            if self.moe is not None:
+                mlp = self.moe.init(jax.random.fold_in(ks[-1], i))
+            else:
+                mlp = {"fc1": _lin_init(next(it), H, D),
+                       "fc2": _lin_init(next(it), D, H)}
             params["blocks"][str(i)] = {
                 "norm1": {"weight": I.ones(D), "bias": I.zeros(D)},
                 "attn": {
@@ -99,8 +116,7 @@ class TemporalTransformerDetector:
                     "proj": _lin_init(next(it), D, D),
                 },
                 "norm2": {"weight": I.ones(D), "bias": I.zeros(D)},
-                "mlp": {"fc1": _lin_init(next(it), H, D),
-                        "fc2": _lin_init(next(it), D, H)},
+                "mlp": mlp,
             }
         kh = jax.random.split(ks[-1])[0]
         params["head"] = _lin_init(kh, self.num_classes, D)
@@ -171,8 +187,18 @@ class TemporalTransformerDetector:
             bp = p["blocks"][str(i)]
             y = y + self._attention(bp["attn"], L.layer_norm(bp["norm1"], y))
             h = L.layer_norm(bp["norm2"], y)
-            h = jax.nn.gelu(L.linear(bp["mlp"]["fc1"], h), approximate=False)
-            y = y + L.linear(bp["mlp"]["fc2"], h)
+            if self.moe is not None:
+                flat = h.reshape(-1, D)
+                if self.mesh is not None and self.expert_axis:
+                    out = self.moe.apply_expert_parallel(
+                        bp["mlp"], flat, self.mesh, self.expert_axis)
+                else:
+                    out = self.moe.apply_dense(bp["mlp"], flat)
+                y = y + out.reshape(h.shape)
+            else:
+                h = jax.nn.gelu(L.linear(bp["mlp"]["fc1"], h),
+                                approximate=False)
+                y = y + L.linear(bp["mlp"]["fc2"], h)
 
         y = L.layer_norm(p["norm"], y)
         if self.use_cls:

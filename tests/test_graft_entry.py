@@ -40,9 +40,10 @@ def test_dryrun_multichip_self_provisions_like_driver():
     assert proc.returncode == 0, (
         f"driver-identical dryrun failed:\n{proc.stderr[-3000:]}"
     )
-    # both phases: dp+tp flagship step AND sp ring-attention step
+    # all three phases: dp+tp flagship, sp ring-attention, ep MoE
     assert "mesh=(4,2)" in proc.stdout and "ok" in proc.stdout, proc.stdout
     assert "sp mesh=(2,4) ring-attention" in proc.stdout, proc.stdout
+    assert "ep mesh=(2,4) moe" in proc.stdout, proc.stdout
 
 
 def test_entry_forward_smoke():
