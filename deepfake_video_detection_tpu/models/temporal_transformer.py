@@ -49,17 +49,21 @@ class TemporalTransformerDetector:
         use_cls: bool = True,
         mesh: Optional[Any] = None,
         seq_axis: Optional[str] = None,
+        seq_strategy: str = "ring",
         batch_axis: Optional[str] = "data",
         moe_experts: int = 0,
         expert_axis: Optional[str] = None,
         compute_dtype: jnp.dtype = jnp.float32,
     ):
         """``mesh`` + ``seq_axis``: sequence-parallel mode — the frame axis is
-        sharded over ``seq_axis`` and every attention runs as ring attention
-        (``ops/ring_attention.py``): KV shards rotate over ICI, memory per
-        chip is O(T/ring), the math is exact. Requires ``use_cls=False``
-        (T must divide the ring evenly; pooling replaces the cls token) and
-        T % mesh.shape[seq_axis] == 0.
+        sharded over ``seq_axis`` and every attention runs sequence-parallel.
+        ``seq_strategy`` picks the collective pattern: ``"ring"`` rotates KV
+        shards over ICI with O(T/ring) memory per chip
+        (``ops/ring_attention.py``); ``"ulysses"`` all-to-alls to a
+        head-sharded layout and back (``ops/ulysses_attention.py``,
+        needs num_heads % seq degree == 0). Both are exact. Requires
+        ``use_cls=False`` (T must divide the ring evenly; pooling replaces
+        the cls token) and T % mesh.shape[seq_axis] == 0.
 
         ``moe_experts > 0``: every block's MLP becomes a top-1-routed
         mixture of experts (``nn/moe.py``). With ``mesh`` + ``expert_axis``
@@ -80,6 +84,9 @@ class TemporalTransformerDetector:
         self.use_cls = use_cls
         self.mesh = mesh
         self.seq_axis = seq_axis
+        if seq_strategy not in ("ring", "ulysses"):
+            raise ValueError(f"unknown seq_strategy {seq_strategy!r}")
+        self.seq_strategy = seq_strategy
         self.batch_axis = batch_axis
         if mesh is not None and seq_axis and use_cls:
             raise ValueError("sequence-parallel mode needs use_cls=False "
@@ -136,14 +143,18 @@ class TemporalTransformerDetector:
         on_tpu = jax.default_backend() in ("tpu", "axon")
         if self.mesh is not None and self.seq_axis:
             # sequence parallel: frame axis sharded over the mesh; exact
-            # attention via the ppermute KV ring
-            from deepfake_video_detection_tpu.ops.ring_attention import (
-                ring_attention)
+            # attention via the ppermute KV ring or the Ulysses all-to-all
+            if self.seq_strategy == "ulysses":
+                from deepfake_video_detection_tpu.ops.ulysses_attention import (
+                    ulysses_attention as sp_attention)
+            else:
+                from deepfake_video_detection_tpu.ops.ring_attention import (
+                    ring_attention as sp_attention)
 
             ba = (self.batch_axis if self.batch_axis
                   and self.batch_axis in self.mesh.shape else None)
-            out = ring_attention(q, k, v, self.mesh,
-                                 seq_axis=self.seq_axis, batch_axis=ba)
+            out = sp_attention(q, k, v, self.mesh,
+                               seq_axis=self.seq_axis, batch_axis=ba)
         elif self.use_flash and on_tpu and N >= 256:
             from deepfake_video_detection_tpu.ops.attention import flash_attention
             out = flash_attention(q, k, v)

@@ -99,3 +99,35 @@ def test_ring_attention_single_device_ring():
     ref = _reference_attention(q, q, q)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_ulysses_attention_matches_reference():
+    """Ulysses SP (all-to-all to head-sharded layout, ops/ulysses_attention.py)
+    must be exact like the ring: same contract, different collective."""
+    from jax.sharding import Mesh
+    from deepfake_video_detection_tpu.ops.ulysses_attention import (
+        ulysses_attention)
+
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, axis_names=("data", "model"))
+    rng = np.random.default_rng(2)
+    B, H, N, d = 2, 4, 64, 16  # H=4 divides the 4-way seq degree
+    q = jnp.asarray(rng.normal(size=(B, H, N, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, N, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, N, d)), jnp.float32)
+    out = jax.jit(lambda q, k, v: ulysses_attention(q, k, v, mesh))(q, k, v)
+    ref = _reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_ulysses_attention_rejects_indivisible_heads():
+    from jax.sharding import Mesh
+    from deepfake_video_detection_tpu.ops.ulysses_attention import (
+        ulysses_attention)
+
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, axis_names=("data", "model"))
+    q = jnp.zeros((2, 2, 64, 16), jnp.float32)  # H=2 not divisible by 4
+    with pytest.raises(ValueError, match="divisible"):
+        ulysses_attention(q, q, q, mesh)

@@ -292,10 +292,11 @@ def test_flagship_b0_through_trainer_and_serve_loader(npz_dir, tmp_path):
         np.asarray(best_vars["params"]["fc2"]["weight"]), rtol=1e-6)
 
 
-def test_sp_temporal_transformer_matches_unsharded():
+@pytest.mark.parametrize("seq_strategy", ["ring", "ulysses"])
+def test_sp_temporal_transformer_matches_unsharded(seq_strategy):
     """Sequence parallelism (frame axis sharded over a `seq` mesh axis, ring
-    attention) must reproduce the unsharded train step exactly — SP is a
-    memory/scale choice, not a numerics choice (SURVEY.md §5.7)."""
+    or Ulysses attention) must reproduce the unsharded train step exactly —
+    SP is a memory/scale choice, not a numerics choice (SURVEY.md §5.7)."""
     import functools
 
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -328,9 +329,10 @@ def test_sp_temporal_transformer_matches_unsharded():
 
     def build(sp: bool):
         m = TemporalTransformerDetector(
-            d_model=16, depth=2, num_heads=2, dropout_rate=0.0,
+            d_model=16, depth=2, num_heads=4, dropout_rate=0.0,
             use_flash=False, use_cls=False,
-            mesh=mesh if sp else None, seq_axis="seq" if sp else None)
+            mesh=mesh if sp else None, seq_axis="seq" if sp else None,
+            seq_strategy=seq_strategy)
         m.backbone = TinyBackbone()
         m.feature_dim = 8
         return m
