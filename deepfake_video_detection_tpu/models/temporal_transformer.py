@@ -34,6 +34,21 @@ def _lin_init(key, out_d, in_d):
             "bias": I.zeros(out_d)}
 
 
+def stack_blocks(blocks: Dict[str, Params]) -> Params:
+    """Loop layout ``{"0": {...}, "1": {...}}`` → pipeline layout (leaves
+    stacked with a leading depth axis). Checkpoints trained in either mode
+    convert losslessly through these two helpers."""
+    ordered = [blocks[str(i)] for i in range(len(blocks))]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ordered)
+
+
+def unstack_blocks(stacked: Params) -> Dict[str, Params]:
+    """Pipeline layout → loop layout (inverse of ``stack_blocks``)."""
+    depth = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    return {str(i): jax.tree_util.tree_map(lambda x: x[i], stacked)
+            for i in range(depth)}
+
+
 class TemporalTransformerDetector:
     def __init__(
         self,
@@ -53,6 +68,8 @@ class TemporalTransformerDetector:
         batch_axis: Optional[str] = "data",
         moe_experts: int = 0,
         expert_axis: Optional[str] = None,
+        stage_axis: Optional[str] = None,
+        pp_microbatches: int = 2,
         compute_dtype: jnp.dtype = jnp.float32,
     ):
         """``mesh`` + ``seq_axis``: sequence-parallel mode — the frame axis is
@@ -69,6 +86,15 @@ class TemporalTransformerDetector:
         mixture of experts (``nn/moe.py``). With ``mesh`` + ``expert_axis``
         the experts shard over the mesh (expert parallelism); otherwise the
         dense path runs — identical numerics either way.
+
+        ``mesh`` + ``stage_axis``: pipeline-parallel mode — the transformer
+        blocks are STACKED (param leaves gain a leading ``depth`` axis, to be
+        sharded ``P(stage_axis)`` so each device holds ``depth/S`` blocks)
+        and the batch flows through them as ``pp_microbatches`` GPipe
+        microbatches (``parallel/pipeline.py``). A pipeline is a schedule,
+        not a numerics change — outputs match the sequential loop exactly
+        (``tests/test_pipeline.py``). Requires depth % S == 0,
+        B % pp_microbatches == 0, dense MLPs (no MoE), and no seq_axis.
         """
         self.backbone = build_backbone(backbone_name, compute_dtype)
         self.backbone_name = backbone_name
@@ -96,6 +122,18 @@ class TemporalTransformerDetector:
         if moe_experts:
             from deepfake_video_detection_tpu.nn.moe import MoEMLP
             self.moe = MoEMLP(d_model, self.mlp_hidden, moe_experts)
+        self.stage_axis = stage_axis
+        self.pp_microbatches = pp_microbatches
+        if stage_axis:
+            if mesh is None:
+                raise ValueError("pipeline-parallel mode needs a mesh")
+            if self.moe is not None or seq_axis:
+                raise ValueError("stage_axis is mutually exclusive with "
+                                 "moe_experts/seq_axis")
+            if depth % mesh.shape[stage_axis] != 0:
+                raise ValueError(
+                    f"depth {depth} must divide over the {stage_axis} axis "
+                    f"({mesh.shape[stage_axis]} stages)")
         self.compute_dtype = compute_dtype
 
     def init(self, rng: jax.Array) -> Dict[str, Params]:
@@ -110,13 +148,14 @@ class TemporalTransformerDetector:
             "norm": {"weight": I.ones(D), "bias": I.zeros(D)},
         }
         it = iter(ks)
+        blocks = []
         for i in range(self.depth):
             if self.moe is not None:
                 mlp = self.moe.init(jax.random.fold_in(ks[-1], i))
             else:
                 mlp = {"fc1": _lin_init(next(it), H, D),
                        "fc2": _lin_init(next(it), D, H)}
-            params["blocks"][str(i)] = {
+            blocks.append({
                 "norm1": {"weight": I.ones(D), "bias": I.zeros(D)},
                 "attn": {
                     "qkv": _lin_init(next(it), 3 * D, D),
@@ -124,7 +163,14 @@ class TemporalTransformerDetector:
                 },
                 "norm2": {"weight": I.ones(D), "bias": I.zeros(D)},
                 "mlp": mlp,
-            }
+            })
+        if self.stage_axis:
+            # pipeline layout: leaves stacked (depth, ...) — shard P(stage).
+            # stack_blocks/unstack_blocks convert to/from the loop layout.
+            params["blocks"] = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *blocks)
+        else:
+            params["blocks"] = {str(i): b for i, b in enumerate(blocks)}
         kh = jax.random.split(ks[-1])[0]
         params["head"] = _lin_init(kh, self.num_classes, D)
         return {"params": params, "state": {"backbone": bvars["state"]}}
@@ -194,22 +240,49 @@ class TemporalTransformerDetector:
             cls = jnp.broadcast_to(p["cls_token"].astype(y.dtype), (B, 1, D))
             y = jnp.concatenate([cls, y], axis=1)
 
-        for i in range(self.depth):
-            bp = p["blocks"][str(i)]
-            y = y + self._attention(bp["attn"], L.layer_norm(bp["norm1"], y))
-            h = L.layer_norm(bp["norm2"], y)
-            if self.moe is not None:
-                flat = h.reshape(-1, D)
-                if self.mesh is not None and self.expert_axis:
-                    out = self.moe.apply_expert_parallel(
-                        bp["mlp"], flat, self.mesh, self.expert_axis)
+        if self.stage_axis:
+            # GPipe over the stacked blocks: microbatch the clip axis, each
+            # stage applies its depth/S blocks, activations ride ppermute
+            from deepfake_video_detection_tpu.parallel.pipeline import (
+                pipeline_blocks)
+
+            M = self.pp_microbatches
+            Bc, N = y.shape[0], y.shape[1]
+            if Bc % M != 0:
+                raise ValueError(f"batch {Bc} % microbatches {M} != 0")
+
+            def blk(bp, xm):
+                xm = xm + self._attention(
+                    bp["attn"], L.layer_norm(bp["norm1"], xm))
+                hm = L.layer_norm(bp["norm2"], xm)
+                hm = jax.nn.gelu(L.linear(bp["mlp"]["fc1"], hm),
+                                 approximate=False)
+                return xm + L.linear(bp["mlp"]["fc2"], hm)
+
+            ba = (self.batch_axis if self.batch_axis
+                  and self.batch_axis in self.mesh.shape else None)
+            y = pipeline_blocks(
+                blk, p["blocks"], y.reshape(M, Bc // M, N, D), self.mesh,
+                stage_axis=self.stage_axis, batch_axis=ba,
+            ).reshape(Bc, N, D)
+        else:
+            for i in range(self.depth):
+                bp = p["blocks"][str(i)]
+                y = y + self._attention(bp["attn"],
+                                        L.layer_norm(bp["norm1"], y))
+                h = L.layer_norm(bp["norm2"], y)
+                if self.moe is not None:
+                    flat = h.reshape(-1, D)
+                    if self.mesh is not None and self.expert_axis:
+                        out = self.moe.apply_expert_parallel(
+                            bp["mlp"], flat, self.mesh, self.expert_axis)
+                    else:
+                        out = self.moe.apply_dense(bp["mlp"], flat)
+                    y = y + out.reshape(h.shape)
                 else:
-                    out = self.moe.apply_dense(bp["mlp"], flat)
-                y = y + out.reshape(h.shape)
-            else:
-                h = jax.nn.gelu(L.linear(bp["mlp"]["fc1"], h),
-                                approximate=False)
-                y = y + L.linear(bp["mlp"]["fc2"], h)
+                    h = jax.nn.gelu(L.linear(bp["mlp"]["fc1"], h),
+                                    approximate=False)
+                    y = y + L.linear(bp["mlp"]["fc2"], h)
 
         y = L.layer_norm(p["norm"], y)
         if self.use_cls:

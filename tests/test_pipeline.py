@@ -133,3 +133,94 @@ def test_pipeline_in_train_step():
         new_state, m = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(m["loss"]))
     assert int(new_state.step) == 1
+
+
+def test_pp_temporal_transformer_matches_loop():
+    """Real-model PP: the temporal transformer's stacked-block pipeline mode
+    (stage_axis) must reproduce the sequential-loop model exactly with the
+    same weights — forward AND loss/grads through a train step."""
+    import functools
+
+    from deepfake_video_detection_tpu.models.temporal_transformer import (
+        TemporalTransformerDetector, stack_blocks)
+    from deepfake_video_detection_tpu.train import losses as losses_mod
+    from deepfake_video_detection_tpu.train import optim as optim_mod
+    from deepfake_video_detection_tpu.train.state import TrainState
+    from deepfake_video_detection_tpu.train.steps import make_train_step
+
+    class TinyBackbone:
+        feature_dim = 8
+
+        def init(self, rng):
+            from deepfake_video_detection_tpu.nn import init as I
+            return {"params": {"proj": {
+                "weight": I.kaiming_uniform(rng, (8, 3)),
+                "bias": I.zeros(8)}}, "state": {}}
+
+        def apply(self, variables, x, train=False, rng=None):
+            from deepfake_video_detection_tpu.nn import layers as L
+            feats = x.astype(jnp.float32).mean(axis=(1, 2))
+            return L.linear(variables["params"]["proj"], feats), {}
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                ("data", "stage"))
+
+    def build(pp: bool):
+        m = TemporalTransformerDetector(
+            d_model=16, depth=4, num_heads=2, dropout_rate=0.0,
+            use_flash=False, use_cls=False,
+            mesh=mesh if pp else None, stage_axis="stage" if pp else None,
+            pp_microbatches=2)
+        m.backbone = TinyBackbone()
+        m.feature_dim = 8
+        return m
+
+    loop_vars = jax.tree_util.tree_map(
+        np.asarray, build(False).init(jax.random.PRNGKey(0)))
+    pp_vars = {
+        "params": dict(loop_vars["params"],
+                       blocks=jax.tree_util.tree_map(
+                           np.asarray,
+                           stack_blocks(loop_vars["params"]["blocks"]))),
+        "state": loop_vars["state"],
+    }
+
+    rng = np.random.default_rng(0)
+    frames = rng.random((4, 8, 8, 8, 3)).astype(np.float32)
+    labels = (np.arange(4) % 2).astype(np.int64)
+    tx = optim_mod.build_optimizer("adamw", 1e-2, grad_clip=1.0)
+    loss_fn = functools.partial(losses_mod.cross_entropy_loss)
+
+    def run(pp: bool):
+        model = build(pp)
+        variables = pp_vars if pp else loop_vars
+        step = make_train_step(model, tx, loss_fn, mesh=None, donate=False)
+        state = TrainState.create(
+            jax.tree_util.tree_map(jax.device_put, variables), tx)
+        with mesh:
+            new_state, m = step(state, {"frames": frames, "labels": labels},
+                                jax.random.PRNGKey(1))
+        return float(m["loss"]), np.asarray(new_state.params["head"]["weight"])
+
+    loss_pp, head_pp = run(True)
+    loss_loop, head_loop = run(False)
+    assert loss_pp == pytest.approx(loss_loop, rel=1e-5)
+    np.testing.assert_allclose(head_pp, head_loop, rtol=1e-4, atol=1e-6)
+
+
+def test_stack_unstack_roundtrip():
+    from deepfake_video_detection_tpu.models.temporal_transformer import (
+        TemporalTransformerDetector, stack_blocks, unstack_blocks)
+
+    m = TemporalTransformerDetector(d_model=16, depth=3, num_heads=2)
+    m.backbone = type("B", (), {
+        "feature_dim": 8,
+        "init": lambda self, r: {"params": {}, "state": {}},
+        "apply": lambda self, v, x, train=False, rng=None: (x, {})})()
+    m.feature_dim = 8
+    blocks = m.init(jax.random.PRNGKey(0))["params"]["blocks"]
+    rt = unstack_blocks(stack_blocks(blocks))
+    for i in ("0", "1", "2"):
+        np.testing.assert_array_equal(
+            np.asarray(rt[i]["attn"]["qkv"]["weight"]),
+            np.asarray(blocks[i]["attn"]["qkv"]["weight"]))
