@@ -112,6 +112,20 @@ class Predictor:
 
             self._forward = fwd
             self._forward_yuv = fwd_yuv
+
+            # dynamic micro-batching: concurrent requests coalesce into one
+            # batched device step (serve/batcher.py). The lambdas are bound
+            # once so the batcher can group calls by function identity.
+            self._batcher = None
+            if env_bool("SERVE_MICROBATCH", True):
+                from deepfake_video_detection_tpu.serve.batcher import MicroBatcher
+
+                self._batcher = MicroBatcher(
+                    max_batch=max(1, env_int("SERVE_MICROBATCH_MAX", 16)),
+                    max_wait_s=env_float("SERVE_MICROBATCH_WAIT_MS", 4.0) / 1e3)
+                self._fwd_item = lambda stacked: fwd(self._variables, stacked)
+                self._fwd_yuv_item = lambda stacked: fwd_yuv(self._variables,
+                                                             stacked)
         elif model_type == "cnn_lstm":
             @jax.jit
             def fwd(v, frames_u8):
@@ -187,9 +201,18 @@ class Predictor:
                 "prob_fake": None, "num_faces": num_faces, "abstained": True,
             }
 
-        fwd = self._forward_yuv if packed_yuv else self._forward
-        probs, logits, frame_scores, member_logits = fwd(
-            self._variables, jnp.asarray(faces)[None])
+        if getattr(self, "_batcher", None) is not None:
+            # coalesce with concurrent requests into one device step; each
+            # output comes back as this request's length-1 slice, so the
+            # [0]-indexing below matches the unbatched path (member logits
+            # are (M, B, C): batch axis 1)
+            item_fn = self._fwd_yuv_item if packed_yuv else self._fwd_item
+            probs, logits, frame_scores, member_logits = self._batcher.call(
+                item_fn, np.asarray(faces), out_axes=(0, 0, 0, 1))
+        else:
+            fwd = self._forward_yuv if packed_yuv else self._forward
+            probs, logits, frame_scores, member_logits = fwd(
+                self._variables, jnp.asarray(faces)[None])
         probs = np.asarray(probs)[0]
         fake_idx = _get_fake_class_index(probs.shape[0])
         real_idx = 1 - fake_idx if probs.shape[0] == 2 else 0
