@@ -73,7 +73,7 @@ class VideoFacesDataset:
                 with np.load(path, allow_pickle=False) as z:
                     if "faces" in z.files:
                         self.files.append(path)
-            except (OSError, ValueError):
+            except Exception:  # torn/garbage npz raise BadZipFile/EOFError/…
                 continue
         if max_samples is not None:
             self.files = self.files[:max_samples]

@@ -219,11 +219,18 @@ def main(argv=None) -> int:
             videos = videos[: args.max_videos]
         ext = extractor or FaceExtractor(detector="none", face_size=args.size)
         with _fut.ThreadPoolExecutor(args.workers) as pool:
-            futs = [pool.submit(prepare_video, v, args.out_dir, ext, labels,
-                                args.sample_rate, args.max_frames)
+            futs = [(v, pool.submit(prepare_video, v, args.out_dir, ext,
+                                    labels, args.sample_rate,
+                                    args.max_frames))
                     for v in videos]
-            for f in futs:
-                out = f.result()
+            for v, f in futs:
+                # a corrupt/undecodable clip must not abort a whole prep run
+                # (DFDC-scale corpora always contain a few)
+                try:
+                    out = f.result()
+                except Exception as e:
+                    print(f"[prepare] skipping {v}: {e}")
+                    continue
                 if out:
                     written.append(out)
     elif is_flat_frames_layout([os.path.basename(f) for f in images]):

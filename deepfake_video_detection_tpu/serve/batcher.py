@@ -35,8 +35,13 @@ from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 
-def _bucket(n: int, max_batch: int) -> int:
-    b = 1
+def _bucket(n: int, max_batch: int, multiple: int = 1) -> int:
+    """Smallest ``multiple * 2^k`` ≥ n, capped at ``max_batch``.
+
+    ``multiple`` > 1 serves data-parallel inference: every launched batch is
+    divisible by the mesh's ``data`` axis so ``in_shardings`` can split it.
+    """
+    b = max(1, multiple)
     while b < n:
         b *= 2
     return min(b, max_batch)
@@ -63,8 +68,17 @@ class MicroBatcher:
     should be passed through unsliced.
     """
 
-    def __init__(self, max_batch: int = 16, max_wait_s: float = 0.004):
-        self.max_batch = max(1, int(max_batch))
+    def __init__(self, max_batch: int = 16, max_wait_s: float = 0.004,
+                 bucket_multiple: int = 1):
+        self.bucket_multiple = max(1, int(bucket_multiple))
+        # cap stays a multiple of bucket_multiple so a full batch still
+        # shards evenly over the data axis
+        max_batch = max(1, int(max_batch))
+        if self.bucket_multiple > 1:
+            max_batch = max(self.bucket_multiple,
+                            (max_batch // self.bucket_multiple)
+                            * self.bucket_multiple)
+        self.max_batch = max_batch
         self.max_wait_s = float(max_wait_s)
         self._cond = threading.Condition()
         # key -> (fn, out_axes, first_arrival_ts, [entries])
@@ -149,7 +163,7 @@ class MicroBatcher:
     def _execute(self, fn, out_axes, entries: List[_Entry]) -> None:
         try:
             n = len(entries)
-            b = _bucket(n, self.max_batch)
+            b = _bucket(n, self.max_batch, self.bucket_multiple)
             items = [e.item for e in entries]
             items += [items[-1]] * (b - n)  # repeat-pad to the bucket
             stacked = np.stack([np.asarray(x) for x in items])

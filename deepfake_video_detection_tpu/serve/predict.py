@@ -92,8 +92,7 @@ class Predictor:
                 return (jax.nn.softmax(logits.astype(jnp.float32), axis=-1),
                         logits, scores, member_logits)
 
-            @jax.jit
-            def fwd(v, frames_u8):
+            def fwd_impl(v, frames_u8):
                 return head(v, imagenet_normalize(frames_u8))
 
             # transfer-optimal variant: the host ships packed YUV420 face
@@ -102,13 +101,34 @@ class Predictor:
             # fuses into normalize + the backbone stem on device.
             size = self.extractor.face_size
 
-            @jax.jit
-            def fwd_yuv(v, packed_u8):
+            def fwd_yuv_impl(v, packed_u8):
                 from deepfake_video_detection_tpu.ops.yuv import (
                     yuv420_packed_to_rgb)
 
                 rgb = yuv420_packed_to_rgb(packed_u8, size, size)
                 return head(v, imagenet_normalize(rgb / 255.0, scaled=True))
+
+            # serving data-parallelism: with more than one chip (and
+            # micro-batching on, which guarantees mesh-divisible batches),
+            # the coalesced request batch shards over a `data` mesh axis and
+            # every member forward runs SPMD — XLA inserts the collectives.
+            n_dp = 1
+            use_batcher = env_bool("SERVE_MICROBATCH", True)
+            if use_batcher and env_bool("SERVE_DP", True) \
+                    and len(jax.devices()) > 1:
+                from deepfake_video_detection_tpu.parallel.mesh import (
+                    MeshSpec, batch_sharding, make_mesh, replicated_sharding)
+
+                mesh = make_mesh(MeshSpec(data=len(jax.devices()), model=1))
+                n_dp = int(mesh.shape["data"])
+                repl = replicated_sharding(mesh)
+                self._variables = jax.device_put(variables, repl)
+                shardings = (repl, batch_sharding(mesh))
+                fwd = jax.jit(fwd_impl, in_shardings=shardings)
+                fwd_yuv = jax.jit(fwd_yuv_impl, in_shardings=shardings)
+            else:
+                fwd = jax.jit(fwd_impl)
+                fwd_yuv = jax.jit(fwd_yuv_impl)
 
             self._forward = fwd
             self._forward_yuv = fwd_yuv
@@ -117,12 +137,13 @@ class Predictor:
             # batched device step (serve/batcher.py). The lambdas are bound
             # once so the batcher can group calls by function identity.
             self._batcher = None
-            if env_bool("SERVE_MICROBATCH", True):
+            if use_batcher:
                 from deepfake_video_detection_tpu.serve.batcher import MicroBatcher
 
                 self._batcher = MicroBatcher(
                     max_batch=max(1, env_int("SERVE_MICROBATCH_MAX", 16)),
-                    max_wait_s=env_float("SERVE_MICROBATCH_WAIT_MS", 4.0) / 1e3)
+                    max_wait_s=env_float("SERVE_MICROBATCH_WAIT_MS", 4.0) / 1e3,
+                    bucket_multiple=n_dp)
                 self._fwd_item = lambda stacked: fwd(self._variables, stacked)
                 self._fwd_yuv_item = lambda stacked: fwd_yuv(self._variables,
                                                              stacked)

@@ -152,3 +152,41 @@ def test_predictor_microbatch_matches_serial(monkeypatch):
             if w.get(k) is not None:
                 assert g[k] == pytest.approx(w[k], abs=1e-5), k
     assert batched._batcher.items_run == 10
+
+
+def test_predictor_serving_dp_over_mesh(monkeypatch):
+    """With >1 device and micro-batching on, the coalesced batch shards
+    over the `data` mesh axis (serving data-parallelism): buckets are
+    mesh-divisible and verdicts match the unsharded serial path."""
+    import jax
+
+    from deepfake_video_detection_tpu.data.faces import FaceExtractor
+    from deepfake_video_detection_tpu.serve.predict import Predictor
+
+    assert len(jax.devices()) == 8, "conftest provisions the 8-device mesh"
+    monkeypatch.setenv("MIN_FACES", "1")
+    ex = FaceExtractor(detector="center", face_size=16)
+    model = _StubDetector()
+    rng = np.random.default_rng(2)
+    clips = [rng.integers(0, 255, (4, 16, 16, 3), dtype=np.uint8)
+             for _ in range(6)]
+
+    monkeypatch.setenv("SERVE_MICROBATCH", "0")
+    serial = Predictor(model, model.init(None), "pretrained", extractor=ex)
+    want = [serial.predict_faces(c, f"v{i}") for i, c in enumerate(clips)]
+
+    monkeypatch.setenv("SERVE_MICROBATCH", "1")
+    monkeypatch.setenv("SERVE_DP", "1")
+    dp = Predictor(model, model.init(None), "pretrained", extractor=ex)
+    assert dp._batcher is not None and dp._batcher.bucket_multiple == 8
+    with fut.ThreadPoolExecutor(6) as pool:
+        got = list(pool.map(
+            lambda ic: dp.predict_faces(ic[1], f"v{ic[0]}"),
+            enumerate(clips)))
+
+    for w, g in zip(want, got):
+        for k in ("prediction", "pred_class", "num_faces", "abstained"):
+            assert w.get(k) == g.get(k), (k, w, g)
+        for k in ("prob_real", "prob_fake", "confidence"):
+            if w.get(k) is not None:
+                assert g[k] == pytest.approx(w[k], abs=1e-5), k
