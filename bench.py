@@ -104,7 +104,7 @@ def main() -> None:
     # just thrash), plus a small transfer pool so host→device uploads run
     # CONCURRENTLY through the relay (measured ~2× effective bandwidth vs
     # serial puts) and overlap both decode and compute.
-    decode_workers = min(3, 3 * (os.cpu_count() or 1))
+    decode_workers = 3
 
     def run_once() -> float:
         t0 = time.perf_counter()

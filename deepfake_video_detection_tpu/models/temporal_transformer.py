@@ -266,6 +266,7 @@ class TemporalTransformerDetector:
                 stage_axis=self.stage_axis, batch_axis=ba,
             ).reshape(Bc, N, D)
         else:
+            moe_aux = jnp.float32(0.0)
             for i in range(self.depth):
                 bp = p["blocks"][str(i)]
                 y = y + self._attention(bp["attn"],
@@ -274,10 +275,13 @@ class TemporalTransformerDetector:
                 if self.moe is not None:
                     flat = h.reshape(-1, D)
                     if self.mesh is not None and self.expert_axis:
-                        out = self.moe.apply_expert_parallel(
-                            bp["mlp"], flat, self.mesh, self.expert_axis)
+                        out, aux = self.moe.apply_expert_parallel(
+                            bp["mlp"], flat, self.mesh, self.expert_axis,
+                            with_aux=True)
                     else:
-                        out = self.moe.apply_dense(bp["mlp"], flat)
+                        out, aux = self.moe.apply_dense(bp["mlp"], flat,
+                                                        with_aux=True)
+                    moe_aux = moe_aux + aux
                     y = y + out.reshape(h.shape)
                 else:
                     h = jax.nn.gelu(L.linear(bp["mlp"]["fc1"], h),
@@ -298,4 +302,11 @@ class TemporalTransformerDetector:
         # frame scores: attention-free saliency = norm of each frame token
         frame_scores = jnp.linalg.norm(tokens.astype(jnp.float32), axis=-1)
         frame_scores = jax.nn.softmax(frame_scores, axis=-1)
-        return (logits, frame_scores), {"backbone": ns_bb}
+        new_state: Params = {"backbone": ns_bb}
+        if self.moe is not None and train:
+            # switch-router balance term, averaged over blocks; the train
+            # step pops "aux_losses" and folds it into the loss so router
+            # collapse (all tokens → one expert) is penalized
+            new_state["aux_losses"] = {
+                "moe_load_balance": moe_aux / self.depth}
+        return (logits, frame_scores), new_state

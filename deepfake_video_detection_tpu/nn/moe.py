@@ -72,20 +72,26 @@ class MoEMLP:
 
     # -- dense reference path ---------------------------------------------
 
-    def apply_dense(self, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    def apply_dense(self, p: Params, x: jnp.ndarray,
+                    with_aux: bool = False):
         """(N, D) → (N, D): every expert computes every token; the router's
-        one-hot picks the winner. Exact semantics, no communication."""
-        idx, gate, _ = self._route(p, x)
+        one-hot picks the winner. Exact semantics, no communication.
+        ``with_aux=True`` also returns the switch load-balance loss."""
+        idx, gate, probs = self._route(p, x)
         all_out = jax.vmap(self._expert_ffn, in_axes=(0, 0, None))(
             p["w1"], p["w2"], x)                        # (E, N, D)
         one_hot = jax.nn.one_hot(idx, self.num_experts, dtype=x.dtype)
         picked = jnp.einsum("end,ne->nd", all_out, one_hot)
-        return picked * gate[:, None]
+        out = picked * gate[:, None]
+        if with_aux:
+            return out, load_balance_loss(probs, idx, self.num_experts)
+        return out
 
     # -- expert-parallel path ----------------------------------------------
 
     def apply_expert_parallel(self, p: Params, x: jnp.ndarray, mesh: Mesh,
-                              expert_axis: str = "expert") -> jnp.ndarray:
+                              expert_axis: str = "expert",
+                              with_aux: bool = False):
         """(N, D) → (N, D) with experts sharded over ``expert_axis``.
 
         Tokens are packed into an (E, cap, D) buffer that reshards onto the
@@ -102,7 +108,7 @@ class MoEMLP:
 
         cap = max(1, math.ceil(N / E * self.capacity_factor))
 
-        idx, gate, _ = self._route(p, x)
+        idx, gate, probs = self._route(p, x)
 
         # build dispatch buffers on the host side of the shard_map: for each
         # expert e, the first `cap` tokens routed to it (positions), padded
@@ -139,7 +145,10 @@ class MoEMLP:
              jnp.zeros((1, x.shape[1]), x.dtype)])       # drop slot → 0
         y_sorted = flat[slot]
         y = jnp.zeros_like(x).at[sort].set(y_sorted)
-        return y * gate[:, None]
+        out = y * gate[:, None]
+        if with_aux:
+            return out, load_balance_loss(probs, idx, self.num_experts)
+        return out
 
 
 def load_balance_loss(router_probs: jnp.ndarray, expert_idx: jnp.ndarray,

@@ -591,12 +591,14 @@ class App:
         def api_load_model(req):
             data = req.json()
             path = data.get("path") or data.get("checkpoint")
-            if not path or not os.path.exists(path):
+            if not path:
                 return Response.json({"error": "checkpoint path not found"}, 400)
             # Unauthenticated route: confine loadable paths to the checkpoints
             # tree so it cannot be used to deserialise arbitrary server files
             # (the reference accepts any path, app.py:3175 — deliberately
-            # diverge; opt back in with ALLOW_ANY_MODEL_PATH=1).
+            # diverge; opt back in with ALLOW_ANY_MODEL_PATH=1). Confinement
+            # runs BEFORE the existence check so the route is not a
+            # filesystem path-existence oracle for the rest of the disk.
             if os.environ.get("ALLOW_ANY_MODEL_PATH", "0").lower() not in (
                     "1", "true", "yes"):
                 root = os.path.realpath(app.checkpoints_root)
@@ -606,14 +608,20 @@ class App:
                         {"error": "checkpoint path outside the checkpoints "
                                   "root (set ALLOW_ANY_MODEL_PATH=1 to "
                                   "permit)"}, 403)
+            if not os.path.exists(path):
+                return Response.json({"error": "checkpoint path not found"}, 400)
             try:
                 model, variables, stats = loader_mod.load_model(
                     path, data.get("model_type"))
             except ValueError as e:
                 return Response.json({"error": str(e)}, 400)
+            old = app.predictor
             app.predictor = Predictor(model, variables, stats["model_type"],
                                       checkpoint_path=path,
                                       enhanced_agent=app.enhanced_agent)
+            # release the replaced predictor's batcher worker thread
+            if old is not None and getattr(old, "_batcher", None) is not None:
+                old._batcher.close()
             return Response.json({"ok": True, "stats": stats})
 
         @self.route("POST", r"/api/predict")

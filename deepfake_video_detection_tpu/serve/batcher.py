@@ -157,7 +157,10 @@ class MicroBatcher:
         fn, axes, ts, entries = self._pending.pop(best_key)
         take, rest = entries[:self.max_batch], entries[self.max_batch:]
         if rest:
-            self._pending[best_key] = [fn, axes, now, rest]
+            # keep the group's original window: overflow entries arrived
+            # during it, so under sustained load their queueing latency
+            # stays bounded by max_wait_s instead of resetting every burst
+            self._pending[best_key] = [fn, axes, ts, rest]
         return fn, axes, take
 
     def _execute(self, fn, out_axes, entries: List[_Entry]) -> None:
@@ -184,10 +187,11 @@ class MicroBatcher:
                     else (out if ax is None else _slice(out, ax, i))
                     for out, ax in zip(outputs, out_axes))
                 e.event.set()
-        except BaseException as exc:  # propagate to every waiter
-            for e in entries:
-                e.error = exc
-                e.event.set()
+        except BaseException as exc:  # propagate to every still-waiting
+            for e in entries:         # caller (never clobber a result that
+                if not e.event.is_set():  # was already handed out)
+                    e.error = exc
+                    e.event.set()
 
 
 def _slice(x: Any, axis: int, i: int) -> Any:

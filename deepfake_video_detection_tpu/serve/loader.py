@@ -134,6 +134,24 @@ def load_model(path: str, model_type: Optional[str] = None
             and any(k.startswith("backbone.") for k in sd)):
         from deepfake_video_detection_tpu.models.temporal_transformer import (
             TemporalTransformerDetector)
+
+        # A pipeline-parallel-trained checkpoint stores transformer blocks
+        # STACKED (keys `blocks.attn.qkv.weight` with a leading depth axis,
+        # models/temporal_transformer.py:stack_blocks). The canonical dotted
+        # layout mirrors torch keys (`blocks.0.attn...`), so renumber here —
+        # PP-trained checkpoints then serve through the loop-mode model.
+        if any(k.startswith("blocks.")
+               and not k.split(".")[1].isdigit() for k in sd):
+            unstacked = {}
+            for k, v in sd.items():
+                parts = k.split(".")
+                if parts[0] == "blocks" and not parts[1].isdigit():
+                    for i in range(np.shape(v)[0]):
+                        unstacked[".".join(["blocks", str(i)] + parts[1:])] \
+                            = np.asarray(v)[i]
+                else:
+                    unstacked[k] = v
+            sd = unstacked
         name = cfg.get("backbone") or infer_backbone_from_keys(
             {k[len("backbone."):]: v for k, v in sd.items()
              if k.startswith("backbone.")}, fname) or "efficientnet_b0"

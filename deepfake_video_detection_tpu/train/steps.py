@@ -42,6 +42,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     donate: bool = True,
     remat: bool = False,
+    aux_loss_weight: float = 0.01,
 ) -> Callable[[TrainState, dict, jax.Array], Tuple[TrainState, dict]]:
     """Build the compiled train step.
 
@@ -69,6 +70,14 @@ def make_train_step(
             # partial batch trains identically to its unpadded equivalent.
             loss = loss_fn(logits, batch["labels"],
                            sample_mask=batch.get("valid"))
+            # model-reported auxiliary losses (e.g. the MoE router's switch
+            # load-balance term, models/temporal_transformer.py): popped so
+            # they never persist into the stored model state / checkpoints
+            if isinstance(new_model_state, dict):
+                aux = new_model_state.pop("aux_losses", None)
+                if aux is not None:
+                    for v in jax.tree_util.tree_leaves(aux):
+                        loss = loss + aux_loss_weight * v
             return loss, (logits, new_model_state)
 
         (loss, (logits, new_model_state)), grads = jax.value_and_grad(

@@ -405,8 +405,10 @@ int seek_sample_impl(const char* path, int n_frames, int crop_x, int crop_y,
     }
   }
 
-  if (!seekable && written == 0) {
-    // no duration / unseekable container: sequential keyframe scan
+  if (written == 0) {
+    // no duration, unseekable container, OR seeks that "succeeded" but
+    // produced no decodable frame (broken/absent keyframe index after a
+    // truncated download): sequential keyframe scan from the start
     av_seek_frame(c->fmt, c->stream_idx, start, AVSEEK_FLAG_BACKWARD);
     avcodec_flush_buffers(c->dec);
     bool done = false;
@@ -511,7 +513,13 @@ int vd_encode(const char* path, const uint8_t* rgb, int n, int w, int h,
     avformat_free_context(fmt);
     return -1;
   }
-  avformat_write_header(fmt, nullptr);
+  if (avformat_write_header(fmt, nullptr) < 0) {
+    snprintf(err, errlen, "cannot write container header");
+    avio_closep(&fmt->pb);
+    avcodec_free_context(&enc);
+    avformat_free_context(fmt);
+    return -1;
+  }
 
   SwsContext* sws =
       sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h, enc->pix_fmt,

@@ -113,3 +113,69 @@ def test_temporal_transformer_moe_ep_matches_dense():
         lambda v, x: build(True).apply(v, x))(variables, x)
     np.testing.assert_allclose(np.asarray(lg_e), np.asarray(lg_d),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_moe_aux_loss_wired_into_train_step():
+    """The switch load-balance term flows model → train step: apply(train=True)
+    reports it under state["aux_losses"], make_train_step folds it into the
+    loss (scaled by aux_loss_weight) and strips it from the stored state."""
+    import functools
+
+    from deepfake_video_detection_tpu.models.temporal_transformer import (
+        TemporalTransformerDetector)
+    from deepfake_video_detection_tpu.train import losses as losses_mod
+    from deepfake_video_detection_tpu.train import optim as optim_mod
+    from deepfake_video_detection_tpu.train.state import TrainState
+    from deepfake_video_detection_tpu.train.steps import make_train_step
+
+    class TinyBackbone:
+        feature_dim = 8
+
+        def init(self, rng):
+            from deepfake_video_detection_tpu.nn import init as I
+            return {"params": {"proj": {
+                "weight": I.kaiming_uniform(rng, (8, 3)),
+                "bias": I.zeros(8)}}, "state": {}}
+
+        def apply(self, variables, x, train=False, rng=None):
+            from deepfake_video_detection_tpu.nn import layers as L
+            feats = x.astype(jnp.float32).mean(axis=(1, 2))
+            return L.linear(variables["params"]["proj"], feats), {}
+
+    model = TemporalTransformerDetector(
+        d_model=16, depth=2, num_heads=2, dropout_rate=0.0, use_flash=False,
+        moe_experts=4)
+    model.backbone = TinyBackbone()
+    model.feature_dim = 8
+    variables = model.init(jax.random.PRNGKey(0))
+
+    # apply(train=True) reports the aux term; eval does not
+    x = jnp.asarray(np.random.default_rng(0).random((2, 4, 8, 8, 3)),
+                    jnp.float32)
+    _, st_train = model.apply(variables, x, train=True,
+                              rng=jax.random.PRNGKey(1))
+    assert "aux_losses" in st_train
+    aux = float(st_train["aux_losses"]["moe_load_balance"])
+    assert 1.0 <= aux <= 4.0  # switch loss is in [1, E]
+    _, st_eval = model.apply(variables, x, train=False)
+    assert "aux_losses" not in st_eval
+
+    batch = {"frames": np.asarray(x),
+             "labels": np.array([0, 1], np.int64)}
+    tx = optim_mod.build_optimizer("adamw", 1e-3, grad_clip=1.0)
+    loss_fn = functools.partial(losses_mod.cross_entropy_loss)
+
+    def run(weight):
+        step = make_train_step(model, tx, loss_fn, donate=False,
+                               aux_loss_weight=weight)
+        state = TrainState.create(
+            jax.tree_util.tree_map(jax.device_put, variables), tx)
+        new_state, m = step(state, batch, jax.random.PRNGKey(2))
+        return float(m["loss"]), new_state
+
+    loss0, ns0 = run(0.0)
+    loss1, ns1 = run(0.5)
+    assert loss1 == pytest.approx(loss0 + 0.5 * aux, rel=1e-4)
+    # the aux scalar never leaks into the persisted model state
+    assert "aux_losses" not in ns0.model_state
+    assert "aux_losses" not in ns1.model_state

@@ -224,3 +224,44 @@ def test_stack_unstack_roundtrip():
         np.testing.assert_array_equal(
             np.asarray(rt[i]["attn"]["qkv"]["weight"]),
             np.asarray(blocks[i]["attn"]["qkv"]["weight"]))
+
+
+def test_pp_checkpoint_serves_through_loader(tmp_path):
+    """A pipeline-parallel-trained checkpoint (stacked `blocks.*` leaves)
+    must load through the serving loader: the stacked layout is renumbered
+    to the canonical loop layout (`blocks.0...`) on load and the served
+    model reproduces the PP model's forward exactly."""
+    from deepfake_video_detection_tpu.checkpoint.store import save_checkpoint
+    from deepfake_video_detection_tpu.models.temporal_transformer import (
+        TemporalTransformerDetector)
+    from deepfake_video_detection_tpu.serve.loader import load_model
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                ("data", "stage"))
+    pp = TemporalTransformerDetector(
+        "efficientnet_b0", d_model=32, depth=4, num_heads=2,
+        dropout_rate=0.0, use_flash=False, use_cls=True,
+        mesh=mesh, stage_axis="stage", pp_microbatches=2)
+    variables = jax.tree_util.tree_map(np.asarray,
+                                       pp.init(jax.random.PRNGKey(0)))
+    path = str(tmp_path / "pp_temporal.npz")
+    save_checkpoint(path, variables,
+                    meta={"model_config": {"model_type": "temporal",
+                                           "backbone": "efficientnet_b0",
+                                           "num_heads": 2}})
+
+    model, loaded_vars, stats = load_model(path, "temporal")
+    assert stats["model_type"] == "temporal"
+    assert stats["match_ratio"] == pytest.approx(1.0)
+    # loaded layout is the loop layout
+    assert "0" in loaded_vars["params"]["blocks"]
+
+    x = jnp.asarray(np.random.default_rng(1).random((4, 4, 32, 32, 3)),
+                    jnp.float32)
+    (logits_loaded, _), _ = model.apply(loaded_vars, x, train=False)
+    with mesh:
+        (logits_pp, _), _ = pp.apply(
+            jax.tree_util.tree_map(jax.device_put, variables), x,
+            train=False)
+    np.testing.assert_allclose(np.asarray(logits_loaded),
+                               np.asarray(logits_pp), rtol=1e-4, atol=1e-5)

@@ -248,6 +248,13 @@ def test_load_model_path_restriction(served, tmp_path):
                            "application/json")
     assert status == 403, body
     assert b"checkpoints root" in body
+    # no path-existence oracle: a NONEXISTENT outside path must be
+    # indistinguishable from an existing one (403, not 400)
+    status2, _, body2 = call(
+        app, "POST", "/api/load-model",
+        json.dumps({"path": str(tmp_path / "nope.npz")}).encode(),
+        "application/json")
+    assert status2 == 403, body2
 
 
 def test_predictor_yuv_fast_path(served):
