@@ -67,6 +67,11 @@ def conv2d(
         pad = [(padding[0], padding[0]), (padding[1], padding[1])]
     else:
         pad = padding  # 'SAME' / 'VALID'
+    # NOTE: no preferred_element_type here — jax's conv transpose rule feeds
+    # the f32 cotangent back into a conv against the bf16 operand and fails
+    # ("requires arguments to have the same dtypes"), breaking every bf16
+    # train step. The TPU MXU accumulates bf16 convolutions in f32 natively,
+    # so dropping it costs nothing on the target hardware.
     y = lax.conv_general_dilated(
         x, w,
         window_strides=stride,
@@ -74,7 +79,6 @@ def conv2d(
         rhs_dilation=dilation,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
     ).astype(x.dtype)
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"].astype(x.dtype)

@@ -581,11 +581,20 @@ class App:
 
         @self.route("GET", r"/api/model-info")
         def model_info(req):
-            return Response.json({
+            info = {
                 "loaded": app.predictor is not None,
                 "model_type": getattr(app.predictor, "model_type", None),
                 "load_stats": loader_mod.LAST_LOAD_STATS,
-            })
+            }
+            mb = getattr(app.predictor, "_batcher", None)
+            if mb is not None:
+                info["microbatch"] = {
+                    "batches_run": mb.batches_run,
+                    "items_run": mb.items_run,
+                    "mean_batch": round(mb.items_run / mb.batches_run, 2)
+                    if mb.batches_run else None,
+                }
+            return Response.json(info)
 
         @self.route("POST", r"/api/load-model")
         def api_load_model(req):

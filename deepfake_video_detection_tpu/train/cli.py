@@ -60,6 +60,9 @@ def main(argv=None) -> int:
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--recursive", action="store_true")
     ap.add_argument("--no-augment", action="store_true")
+    ap.add_argument("--steps_per_call", type=int, default=1,
+                    help="optimizer steps fused into one device dispatch "
+                         "(scan-of-steps; amortizes dispatch overhead)")
     ap.add_argument("--torch-export", action="store_true")
     args = ap.parse_args(argv)
 
@@ -75,6 +78,7 @@ def main(argv=None) -> int:
         schedule="step", loss="ce", balance=args.balance, grad_clip=None,
         best_metric="f1", smoke=args.smoke, adjacency=adjacency,
         augment=not args.no_augment, keep_torch_export=args.torch_export,
+        steps_per_call=args.steps_per_call,
         model_config=model_config,
     )
     mesh = make_mesh() if len(jax.devices()) > 1 else None

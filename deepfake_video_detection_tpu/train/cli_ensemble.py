@@ -42,6 +42,9 @@ def main(argv=None) -> int:
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 activations (params stay f32)")
     ap.add_argument("--no-augment", dest="no_augment", action="store_true")
+    ap.add_argument("--steps_per_call", type=int, default=1,
+                    help="optimizer steps fused into one device dispatch "
+                         "(scan-of-steps; amortizes dispatch overhead)")
     args = ap.parse_args(argv)
 
     backbones = [b.strip() for b in args.backbones.split(",") if b.strip()]
@@ -60,7 +63,7 @@ def main(argv=None) -> int:
         loss="ce", balance="weights", grad_clip=1.0,
         best_metric=args.best_metric, threshold_sweep=True,
         smoke=args.smoke, keep_torch_export=args.torch_export,
-        augment=not args.no_augment,
+        augment=not args.no_augment, steps_per_call=args.steps_per_call,
         model_config={"model_type": "ensemble", "backbones": backbones,
                       "ensemble_method": args.ensemble_method},
     )

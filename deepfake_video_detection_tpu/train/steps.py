@@ -35,16 +35,15 @@ def _model_outputs(model, variables, batch, train, rng):
     return logits, new_state
 
 
-def make_train_step(
+def _build_step(
     model: Any,
     tx: Any,
     loss_fn: Callable[..., jnp.ndarray],
-    mesh: Optional[Mesh] = None,
-    donate: bool = True,
     remat: bool = False,
     aux_loss_weight: float = 0.01,
 ) -> Callable[[TrainState, dict, jax.Array], Tuple[TrainState, dict]]:
-    """Build the compiled train step.
+    """Build the PURE (unjitted) train step — shared by the single-step
+    and scan-of-steps compilers below.
 
     ``batch``: dict with ``frames`` (B,T,H,W,C), ``labels`` (B,), optionally
     ``adjacency`` (B,N,N) — every leaf is batch-major so it shards on dim 0.
@@ -103,6 +102,21 @@ def make_train_step(
                                state.step + 1)
         return new_state, metrics
 
+    return step
+
+
+def make_train_step(
+    model: Any,
+    tx: Any,
+    loss_fn: Callable[..., jnp.ndarray],
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+    remat: bool = False,
+    aux_loss_weight: float = 0.01,
+) -> Callable[[TrainState, dict, jax.Array], Tuple[TrainState, dict]]:
+    """Compile the single-batch train step (see ``_build_step``)."""
+    step = _build_step(model, tx, loss_fn, remat=remat,
+                       aux_loss_weight=aux_loss_weight)
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -110,6 +124,71 @@ def make_train_step(
     data = NamedSharding(mesh, P("data"))  # batch: sharded on dim 0
     return jax.jit(
         step,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_multi_step(
+    model: Any,
+    tx: Any,
+    loss_fn: Callable[..., jnp.ndarray],
+    k: int,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+    remat: bool = False,
+    aux_loss_weight: float = 0.01,
+    prep: Optional[Callable[[dict, jax.Array], dict]] = None,
+) -> Callable[[TrainState, dict, jax.Array], Tuple[TrainState, dict]]:
+    """Compile ``k`` optimizer steps into ONE device dispatch.
+
+    ``batches``: the single-step batch dict with every leaf stacked on a new
+    leading axis of length ``k`` — one host→device transfer and one XLA
+    program execute ``k`` full train steps via ``lax.scan``. This amortizes
+    the per-dispatch host/runtime overhead (~30 ms through a TPU relay,
+    still significant on direct-attached hosts), which dominates small-model
+    epochs: the reference's per-batch Python loop has no analogue of this.
+
+    ``prep(batch, rng) -> batch`` (optional) runs INSIDE the scan body —
+    pass the trainer's augment+normalize so aug, norm, forward, backward and
+    update all fuse into the one program.
+
+    Numerics are identical to ``k`` sequential single steps
+    (``tests/test_train.py::test_multi_step_matches_sequential``).
+    """
+    step = _build_step(model, tx, loss_fn, remat=remat,
+                       aux_loss_weight=aux_loss_weight)
+
+    def multi(state: TrainState, batches: dict, rng: jax.Array):
+        rngs = jax.random.split(rng, 2 * k)
+
+        def body(st, xs):
+            b, r_prep, r_step = xs
+            if prep is not None:
+                b = prep(b, r_prep)
+            st2, m = step(st, b, r_step)
+            return st2, m
+
+        state, ms = jax.lax.scan(body, state,
+                                 (batches, rngs[:k], rngs[k:]))
+        # per-step metrics reduce to the same totals the epoch loop keeps
+        metrics = {
+            "loss": jnp.sum(ms["loss"] * ms["count"]) /
+                    jnp.maximum(jnp.sum(ms["count"]), 1),
+            "correct": jnp.sum(ms["correct"]),
+            "count": jnp.sum(ms["count"]),
+            "grad_norm": ms["grad_norm"][-1],
+        }
+        return state, metrics
+
+    if mesh is None:
+        return jax.jit(multi, donate_argnums=(0,) if donate else ())
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(None, "data"))  # (k, B, ...): shard dim 1
+    return jax.jit(
+        multi,
         in_shardings=(repl, data, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),

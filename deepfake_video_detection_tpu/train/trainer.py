@@ -46,7 +46,8 @@ from deepfake_video_detection_tpu.checkpoint.store import (
 from deepfake_video_detection_tpu.train import losses as losses_mod
 from deepfake_video_detection_tpu.train import optim as optim_mod
 from deepfake_video_detection_tpu.train.state import TrainState
-from deepfake_video_detection_tpu.train.steps import make_eval_step, make_train_step
+from deepfake_video_detection_tpu.train.steps import (make_eval_step,
+    make_multi_step, make_train_step)
 from deepfake_video_detection_tpu.utils.graph import chain_adjacency, normalize_adjacency
 
 # metric-name aliases ≙ ``src/ensemble_trainer.py:393-445``
@@ -94,6 +95,7 @@ class TrainerConfig:
     augment: bool = True
     normalize: str = "imagenet"       # imagenet | clip | unit (x/255 only)
     compute_dtype: str = "float32"
+    steps_per_call: int = 1           # optimizer steps fused per device dispatch
     model_config: Dict[str, Any] = field(default_factory=dict)
 
 
@@ -196,6 +198,16 @@ class Trainer:
         self._prep_train = _prep_train
         self._prep_eval = _prep_eval
 
+        # ---- scan-of-steps: k optimizer steps per device dispatch ----
+        # aug+norm run inside the scan body, so one XLA program covers
+        # k * (augment -> forward -> backward -> update); see
+        # steps.make_multi_step for why this matters on dispatch-bound hosts
+        self.multi_step = None
+        if config.steps_per_call > 1:
+            self.multi_step = make_multi_step(
+                model, self.tx, self.loss_fn, config.steps_per_call, mesh,
+                remat=config.remat, prep=_prep_train)
+
     # ------------------------------------------------------------------
     # state init / resume
     # ------------------------------------------------------------------
@@ -279,6 +291,8 @@ class Trainer:
         return batch
 
     def train_epoch(self, state: TrainState, epoch: int) -> tuple:
+        if self.multi_step is not None:
+            return self._train_epoch_multi(state, epoch)
         loader = self._make_loader(self.train_ds, train=True, epoch=epoch)
         rng = jax.random.PRNGKey(self.cfg.seed * 9973 + epoch)
         tot_loss, tot_correct, tot_count = 0.0, 0, 0
@@ -289,6 +303,93 @@ class Trainer:
             batch.pop("paths", None)
             batch = self._prep_train(batch, k_aug)
             state, metrics = self.train_step(state, batch, k_drop)
+            n = int(metrics["count"])
+            tot_loss += float(metrics["loss"]) * n
+            tot_correct += int(metrics["correct"])
+            tot_count += n
+        return state, {
+            "train_loss": tot_loss / max(tot_count, 1),
+            "train_acc": tot_correct / max(tot_count, 1),
+            "epoch_time_s": time.time() - t0,
+        }
+
+    def _train_epoch_multi(self, state: TrainState, epoch: int) -> tuple:
+        """Epoch loop for ``steps_per_call > 1``: full-size batches are
+        stacked in groups of k and run as ONE scan-of-steps dispatch; the
+        odd-shaped tail (the loader's final partial batch) falls back to the
+        single-step path. A producer thread loads/stacks/transfers the next
+        group while the current dispatch runs (the multi analogue of
+        ``prefetch_to_device`` — without it the epoch serializes host npz
+        decode against device compute and loses more than the dispatch
+        amortization wins). Numerics match the plain loop exactly."""
+        import queue as _queue
+        import threading as _threading
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        loader = self._make_loader(self.train_ds, train=True, epoch=epoch)
+        rng = jax.random.PRNGKey(self.cfg.seed * 9973 + epoch)
+        k = self.cfg.steps_per_call
+        tot_loss, tot_correct, tot_count = 0.0, 0, 0
+        t0 = time.time()
+        sh = (NamedSharding(self.mesh, P(None, "data"))
+              if self.mesh is not None else None)
+
+        def put_group(group):
+            stacked = {key: np.stack([b[key] for b in group])
+                       for key in group[0]}
+            if sh is not None:
+                return {key: jax.device_put(v, sh)
+                        for key, v in stacked.items()}
+            return jax.tree_util.tree_map(jax.device_put, stacked)
+
+        def put_single(batch):
+            if self.mesh is not None:
+                from deepfake_video_detection_tpu.parallel.mesh import shard_batch
+                return shard_batch(batch, self.mesh)
+            return jax.tree_util.tree_map(jax.device_put, batch)
+
+        q: _queue.Queue = _queue.Queue(maxsize=2)
+
+        def producer():
+            try:
+                group, gshape = [], None
+                for batch in loader:
+                    batch = self._attach_adjacency(batch)
+                    batch.pop("paths", None)
+                    shape = batch["frames"].shape
+                    if group and shape != gshape:
+                        for b in group:  # odd-shaped tail: flush singly
+                            q.put(("single", put_single(b)))
+                        group = []
+                    gshape = shape
+                    group.append(batch)
+                    if len(group) == k:
+                        q.put(("multi", put_group(group)))
+                        group = []
+                for b in group:
+                    q.put(("single", put_single(b)))
+                q.put(None)
+            except BaseException as e:  # surface loader errors in the consumer
+                q.put(e)
+
+        _threading.Thread(target=producer, name="multi-step-prefetch",
+                          daemon=True).start()
+
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            kind, dev = item
+            if kind == "multi":
+                rng, sub = jax.random.split(rng)
+                state, metrics = self.multi_step(state, dev, sub)
+            else:
+                rng, k_aug, k_drop = jax.random.split(rng, 3)
+                dev = self._prep_train(dev, k_aug)
+                state, metrics = self.train_step(state, dev, k_drop)
             n = int(metrics["count"])
             tot_loss += float(metrics["loss"]) * n
             tot_correct += int(metrics["correct"])

@@ -159,3 +159,26 @@ def test_dropout_zero_rate_is_identity(rng):
 
 def test_devices_are_virtual_8():
     assert len(jax.devices()) == 8
+
+
+def test_conv2d_bf16_gradients():
+    """bf16 conv must be differentiable (regression: preferred_element_type
+    in conv2d broke the transpose rule — every bf16 train step failed with
+    'requires arguments to have the same dtypes')."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepfake_video_detection_tpu.nn import layers as L
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 8, 8, 6)), jnp.bfloat16)
+
+    for groups, w_shape in ((1, (3, 3, 6, 4)), (6, (3, 3, 1, 6))):
+        w0 = jnp.asarray(rng.random(w_shape), jnp.float32)
+
+        def f(w):
+            y = L.conv2d({"weight": w}, x, stride=1, padding=1, groups=groups)
+            return jnp.sum(y.astype(jnp.float32))
+
+        g = jax.grad(f)(w0)
+        assert g.shape == w_shape and bool(jnp.all(jnp.isfinite(g)))

@@ -370,3 +370,81 @@ def test_sp_temporal_transformer_matches_unsharded(seq_strategy):
     loss_1, head_1 = run(False)
     assert loss_sp == pytest.approx(loss_1, rel=1e-5)
     np.testing.assert_allclose(head_sp, head_1, rtol=1e-4, atol=1e-6)
+
+
+def test_multi_step_matches_sequential():
+    """One scan-of-steps dispatch (make_multi_step, k=3) must reproduce the
+    numerics of 3 sequential single-step dispatches exactly — params, opt
+    state, and aggregated metrics."""
+    import functools
+
+    from deepfake_video_detection_tpu.train import losses as losses_mod
+    from deepfake_video_detection_tpu.train import optim as optim_mod
+    from deepfake_video_detection_tpu.train.state import TrainState
+    from deepfake_video_detection_tpu.train.steps import (make_multi_step,
+                                                          make_train_step)
+
+    model = TinyDetector()
+    variables = jax.tree_util.tree_map(np.asarray,
+                                       model.init(jax.random.PRNGKey(0)))
+    tx = optim_mod.build_optimizer("adamw", 1e-2, grad_clip=1.0)
+    loss_fn = functools.partial(losses_mod.cross_entropy_loss)
+    rng = np.random.default_rng(0)
+    k, B = 3, 4
+    frames = rng.random((k, B, 2, 8, 8, 3)).astype(np.float32)
+    labels = (rng.integers(0, 2, (k, B))).astype(np.int64)
+    valid = np.ones((k, B), bool)
+    valid[2, 3] = False  # exercise masked-count aggregation
+
+    step = make_train_step(model, tx, loss_fn, donate=False)
+    state = TrainState.create(jax.tree_util.tree_map(jax.device_put,
+                                                     variables), tx)
+    seq_rngs = jax.random.split(jax.random.PRNGKey(7), 2 * k)
+    tot_loss = tot_correct = tot_count = 0.0
+    for i in range(k):
+        state, m = step(state, {"frames": frames[i], "labels": labels[i],
+                                "valid": valid[i]}, seq_rngs[k + i])
+        tot_loss += float(m["loss"]) * int(m["count"])
+        tot_correct += int(m["correct"])
+        tot_count += int(m["count"])
+
+    multi = make_multi_step(model, tx, loss_fn, k, donate=False)
+    mstate = TrainState.create(jax.tree_util.tree_map(jax.device_put,
+                                                      variables), tx)
+    mstate, mm = multi(mstate, {"frames": frames, "labels": labels,
+                                "valid": valid}, jax.random.PRNGKey(7))
+
+    assert int(mm["count"]) == tot_count
+    assert int(mm["correct"]) == tot_correct
+    assert float(mm["loss"]) == pytest.approx(tot_loss / tot_count, rel=1e-6)
+    assert int(mstate.step) == k
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-6, atol=1e-7),
+        mstate.params, state.params)
+
+
+def test_trainer_steps_per_call_matches_plain(npz_dir, tmp_path):
+    """Trainer with steps_per_call=2 trains to the same parameters as the
+    plain per-batch loop (augment off for determinism), including the
+    odd-shaped tail batch falling back to single steps."""
+    model = TinyDetector()
+    ds = VideoFacesDataset(npz_dir, num_frames=4)
+    mesh = make_mesh()
+
+    def run(k, out):
+        cfg = TrainerConfig(out_dir=str(tmp_path / out), epochs=2,
+                            batch_size=5, num_frames=4, lr=1e-2,
+                            balance="none", augment=False, save_every=100,
+                            steps_per_call=k, seed=3)
+        tr = Trainer(model, ds, ds, cfg, mesh=mesh)
+        state = tr.init_state()
+        for ep in range(cfg.epochs):
+            state, _ = tr.train_epoch(state, ep)
+        return jax.tree_util.tree_map(np.asarray, state.params)
+
+    p1 = run(1, "plain")
+    p2 = run(2, "multi")
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        p1, p2)
