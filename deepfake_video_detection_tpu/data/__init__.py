@@ -10,3 +10,4 @@ from deepfake_video_detection_tpu.data.normalize import (  # noqa: F401
     IMAGENET_STD,
 )
 from deepfake_video_detection_tpu.data.loader import Loader, prefetch_to_device  # noqa: F401
+from deepfake_video_detection_tpu.data.video_dataset import VideoClipsDataset  # noqa: F401

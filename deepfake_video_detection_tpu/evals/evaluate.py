@@ -204,6 +204,11 @@ def main(argv=None) -> int:
     ap.add_argument("--recursive", action="store_true")
     ap.add_argument("--out_csv", default=None)
     ap.add_argument("--fake_index", type=int, default=1)
+    ap.add_argument("--from-videos", dest="from_videos", action="store_true",
+                    help="evaluate directly on raw video files (in-loader "
+                         "C++ decode; no .npz prep stage)")
+    ap.add_argument("--labels_csv", default=None)
+    ap.add_argument("--face_size", type=int, default=224)
     args = ap.parse_args(argv)
 
     sd, meta = load_any(args.checkpoint)
@@ -211,8 +216,16 @@ def main(argv=None) -> int:
     print(f"model={mt} matched={len(report['matched'])} missing={len(report['missing'])} "
           f"match_ratio={report['match_ratio']:.3f}")
 
-    ds = VideoFacesDataset(args.data_dir, num_frames=args.num_frames,
-                           recursive=args.recursive)
+    if args.from_videos:
+        from deepfake_video_detection_tpu.data.video_dataset import (
+            VideoClipsDataset)
+        ds = VideoClipsDataset(args.data_dir, num_frames=args.num_frames,
+                               face_size=args.face_size,
+                               labels_csv=args.labels_csv,
+                               recursive=args.recursive)
+    else:
+        ds = VideoFacesDataset(args.data_dir, num_frames=args.num_frames,
+                               recursive=args.recursive)
     paths, labels, prob_fake = evaluate_dataset(
         model, variables, ds, mt, args.batch_size, args.fake_index)
 

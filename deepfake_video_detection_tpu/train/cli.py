@@ -64,10 +64,31 @@ def main(argv=None) -> int:
                     help="optimizer steps fused into one device dispatch "
                          "(scan-of-steps; amortizes dispatch overhead)")
     ap.add_argument("--torch-export", action="store_true")
+    ap.add_argument("--from-videos", dest="from_videos", action="store_true",
+                    help="train directly from raw video files in --data_dir "
+                         "(in-loader C++ decode; no .npz prep stage)")
+    ap.add_argument("--labels_csv", default=None,
+                    help="with --from-videos: labels CSV (else path tokens)")
+    ap.add_argument("--face_size", type=int, default=224)
+    ap.add_argument("--detector", default="center",
+                    choices=["center", "mtcnn", "none"])
+    ap.add_argument("--cache-clips", dest="cache_clips", action="store_true",
+                    help="with --from-videos: decode each clip once and "
+                         "keep faces in host memory across epochs")
     args = ap.parse_args(argv)
 
-    ds = VideoFacesDataset(args.data_dir, num_frames=args.num_frames,
-                           recursive=args.recursive)
+    if args.from_videos:
+        from deepfake_video_detection_tpu.data.video_dataset import (
+            VideoClipsDataset)
+        ds = VideoClipsDataset(args.data_dir, num_frames=args.num_frames,
+                               face_size=args.face_size,
+                               detector=args.detector,
+                               labels_csv=args.labels_csv,
+                               recursive=args.recursive,
+                               cache_clips=args.cache_clips)
+    else:
+        ds = VideoFacesDataset(args.data_dir, num_frames=args.num_frames,
+                               recursive=args.recursive)
     train_ds, val_ds = ds.split(0.2)
     model, adjacency, model_config = build_model(args.model, args.num_frames,
                                                  args.vit_variant,
