@@ -117,11 +117,18 @@ class VideoFacesDataset:
     def split(self, val_fraction: float = 0.2, seed: int = 42
               ) -> Tuple["SubsetDataset", "SubsetDataset"]:
         """Deterministic random 80/20 split (≙ ``src/train.py:287``)."""
-        rng = np.random.default_rng(seed)
-        idx = rng.permutation(len(self))
-        n_val = max(1, int(len(self) * val_fraction)) if len(self) > 1 else 0
-        return (SubsetDataset(self, idx[n_val:].tolist()),
-                SubsetDataset(self, idx[:n_val].tolist()))
+        return random_split(self, val_fraction, seed)
+
+
+def random_split(ds, val_fraction: float = 0.2, seed: int = 42):
+    """Deterministic (train, val) ``SubsetDataset`` pair over any dataset
+    with the ``(faces, label, path)`` item interface — shared by the npz
+    and direct-from-video datasets."""
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(len(ds))
+    n_val = max(1, int(len(ds) * val_fraction)) if len(ds) > 1 else 0
+    return (SubsetDataset(ds, idx[n_val:].tolist()),
+            SubsetDataset(ds, idx[:n_val].tolist()))
 
 
 class SubsetDataset:

@@ -95,19 +95,16 @@ class VideoClipsDataset:
     def split(self, val_fraction: float = 0.2, seed: int = 42):
         """Deterministic random split, same semantics as
         ``VideoFacesDataset.split``."""
-        from deepfake_video_detection_tpu.data.dataset import SubsetDataset
+        from deepfake_video_detection_tpu.data.dataset import random_split
 
-        rng = np.random.default_rng(seed)
-        idx = rng.permutation(len(self))
-        n_val = max(1, int(len(self) * val_fraction)) if len(self) > 1 else 0
-        return (SubsetDataset(self, idx[n_val:].tolist()),
-                SubsetDataset(self, idx[:n_val].tolist()))
+        return random_split(self, val_fraction, seed)
 
     def __getitem__(self, i: int):
         path = self.files[i]
         if self._cache is not None and i in self._cache:
             return self._cache[i], self._labels[i], path
         size = self.extractor.face_size
+        failed = False
         try:
             faces = self.extractor.extract_from_video(
                 path, max_frames=self.num_frames)
@@ -120,9 +117,12 @@ class VideoClipsDataset:
                       file=sys.stderr)
                 self._warned = True
             faces = np.zeros((0, size, size, 3), np.uint8)
+            failed = True
         if faces.shape[0] == 0:
             faces = np.zeros((1, size, size, 3), np.uint8)
         faces = pad_or_sample_frames(faces.astype(np.uint8), self.num_frames)
-        if self._cache is not None:
+        if self._cache is not None and not failed:
+            # never cache a transient failure's zero-fill — the clip gets
+            # retried next epoch
             self._cache[i] = faces
         return faces, self._labels[i], path

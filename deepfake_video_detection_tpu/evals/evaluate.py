@@ -141,12 +141,21 @@ def build_model_from_checkpoint(sd: Dict[str, np.ndarray], meta: Dict[str, Any],
         model = EnsembleDetector(backbones)
     elif mt in ("temporal", "temporal_transformer"):
         from deepfake_video_detection_tpu.models.temporal_transformer import (
-            TemporalTransformerDetector)
+            TemporalTransformerDetector, normalize_state_dict)
+        sd = normalize_state_dict(sd)  # PP checkpoints: stacked → loop layout
+        use_cls = "cls_token" in sd
+        if use_cls:
+            d_model = int(np.shape(sd["cls_token"])[-1])
+        elif "proj.weight" in sd:
+            d_model = int(np.shape(sd["proj.weight"])[0])
+        else:
+            d_model = cfg.get("d_model", 256)
+        depth = cfg.get("depth") or 1 + max(
+            (int(k.split(".")[1]) for k in sd if k.startswith("blocks.")),
+            default=3)
         model = TemporalTransformerDetector(
-            cfg.get("backbone", "efficientnet_b0"),
-            d_model=int(np.shape(sd["cls_token"])[-1]) if "cls_token" in sd
-            else cfg.get("d_model", 256),
-            depth=cfg.get("depth", 4), num_heads=cfg.get("num_heads", 4))
+            cfg.get("backbone", "efficientnet_b0"), d_model=d_model,
+            depth=depth, num_heads=cfg.get("num_heads", 4), use_cls=use_cls)
     else:
         model = BackboneDetector(cfg.get("backbone", "efficientnet_b0"))
     template = model.init(jax.random.PRNGKey(0))

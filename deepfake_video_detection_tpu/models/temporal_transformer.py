@@ -49,6 +49,34 @@ def unstack_blocks(stacked: Params) -> Dict[str, Params]:
             for i in range(depth)}
 
 
+def normalize_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Renumber a pipeline-layout FLAT state dict to the canonical loop
+    layout.
+
+    A checkpoint trained with ``stage_axis`` stores transformer blocks
+    STACKED: keys like ``blocks.attn.qkv.weight`` whose leaves carry a
+    leading depth axis (``stack_blocks``). The canonical dotted layout
+    mirrors torch keys (``blocks.0.attn...`` — CLAUDE.md convention), so
+    every checkpoint consumer (serve loader, evaluator, torch export)
+    normalizes through this helper. No-op for loop-layout dicts.
+    """
+    import numpy as np
+
+    if not any(k.startswith("blocks.") and not k.split(".")[1].isdigit()
+               for k in sd):
+        return sd
+    out: Dict[str, Any] = {}
+    for k, v in sd.items():
+        parts = k.split(".")
+        if parts[0] == "blocks" and not parts[1].isdigit():
+            arr = np.asarray(v)
+            for i in range(arr.shape[0]):
+                out[".".join(["blocks", str(i)] + parts[1:])] = arr[i]
+        else:
+            out[k] = v
+    return out
+
+
 class TemporalTransformerDetector:
     def __init__(
         self,

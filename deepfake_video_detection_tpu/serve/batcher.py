@@ -96,9 +96,14 @@ class MicroBatcher:
         entry = _Entry(item)
         key = (id(fn), tuple(np.shape(item)), str(np.asarray(item).dtype),
                tuple(out_axes))
+        if self._closed:
+            # a replaced/shutting-down batcher still serves in-flight
+            # callers: run the item as its own (bucket-multiple-padded)
+            # batch instead of failing the request
+            return self._call_direct(fn, item, tuple(out_axes))
         with self._cond:
             if self._closed:
-                raise RuntimeError("MicroBatcher is closed")
+                return self._call_direct(fn, item, tuple(out_axes))
             if key not in self._pending:
                 self._pending[key] = [fn, tuple(out_axes), time.monotonic(),
                                       [entry]]
@@ -114,6 +119,16 @@ class MicroBatcher:
         if entry.error is not None:
             raise entry.error
         return entry.result
+
+    def _call_direct(self, fn, item, out_axes):
+        b = self.bucket_multiple
+        outputs = fn(np.stack([np.asarray(item)] * b))
+        if not isinstance(outputs, tuple):
+            outputs = (outputs,)
+        outputs = tuple(None if o is None else np.asarray(o) for o in outputs)
+        return tuple(
+            None if out is None else (out if ax is None else _slice(out, ax, 0))
+            for out, ax in zip(outputs, out_axes))
 
     def close(self) -> None:
         with self._cond:

@@ -133,35 +133,31 @@ def load_model(path: str, model_type: Optional[str] = None
             requested is None and "cls_token" in sd
             and any(k.startswith("backbone.") for k in sd)):
         from deepfake_video_detection_tpu.models.temporal_transformer import (
-            TemporalTransformerDetector)
+            TemporalTransformerDetector, normalize_state_dict)
 
-        # A pipeline-parallel-trained checkpoint stores transformer blocks
-        # STACKED (keys `blocks.attn.qkv.weight` with a leading depth axis,
-        # models/temporal_transformer.py:stack_blocks). The canonical dotted
-        # layout mirrors torch keys (`blocks.0.attn...`), so renumber here —
-        # PP-trained checkpoints then serve through the loop-mode model.
-        if any(k.startswith("blocks.")
-               and not k.split(".")[1].isdigit() for k in sd):
-            unstacked = {}
-            for k, v in sd.items():
-                parts = k.split(".")
-                if parts[0] == "blocks" and not parts[1].isdigit():
-                    for i in range(np.shape(v)[0]):
-                        unstacked[".".join(["blocks", str(i)] + parts[1:])] \
-                            = np.asarray(v)[i]
-                else:
-                    unstacked[k] = v
-            sd = unstacked
+        # pipeline-parallel checkpoints store blocks stacked; renumber to
+        # the canonical loop layout (shared helper, also used by the
+        # evaluator) so PP-trained models serve like any other
+        sd = normalize_state_dict(sd)
         name = cfg.get("backbone") or infer_backbone_from_keys(
             {k[len("backbone."):]: v for k, v in sd.items()
              if k.startswith("backbone.")}, fname) or "efficientnet_b0"
-        d_model = int(np.shape(sd["cls_token"])[-1])
+        use_cls = "cls_token" in sd
+        if use_cls:
+            d_model = int(np.shape(sd["cls_token"])[-1])
+        elif "proj.weight" in sd:  # use_cls=False (e.g. SP-trained): mean pool
+            d_model = int(np.shape(sd["proj.weight"])[0])
+        else:
+            raise ValueError(
+                f"{fname}: temporal checkpoint lacks both cls_token and "
+                "proj.weight — cannot infer d_model")
         depth = 1 + max((int(k.split(".")[1]) for k in sd
                          if k.startswith("blocks.")), default=3)
         candidates.append((
             "temporal",
             TemporalTransformerDetector(name, d_model=d_model, depth=depth,
-                                        num_heads=cfg.get("num_heads", 4)),
+                                        num_heads=cfg.get("num_heads", 4),
+                                        use_cls=use_cls),
             sd))
     elif requested in ("cnn_lstm",) or (requested is None and
                                         any(k.startswith("cnn.") for k in sd)):

@@ -77,7 +77,7 @@ class Predictor:
         self.checkpoint_path = checkpoint_path
         self.enhanced_agent = enhanced_agent
         self.extractor = extractor or FaceExtractor()
-        self._variables = jax.device_put(variables)
+        self._variables = None  # placed below (plain or DP-replicated, once)
 
         is_ensemble = model_type == "ensemble_pretrained" or hasattr(model, "members")
 
@@ -122,7 +122,7 @@ class Predictor:
                 mesh = make_mesh(MeshSpec(data=len(jax.devices()), model=1))
                 n_dp = int(mesh.shape["data"])
                 repl = replicated_sharding(mesh)
-                self._variables = jax.device_put(variables, repl)
+                self._variables = jax.device_put(variables, repl)  # one put
                 shardings = (repl, batch_sharding(mesh))
                 fwd = jax.jit(fwd_impl, in_shardings=shardings)
                 fwd_yuv = jax.jit(fwd_yuv_impl, in_shardings=shardings)
@@ -162,6 +162,9 @@ class Predictor:
                 logits, _ = self.model.apply(v, x, A, train=False)
                 return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             self._forward = fwd
+
+        if self._variables is None:  # non-DP paths: plain single placement
+            self._variables = jax.device_put(variables)
 
     # ------------------------------------------------------------------
 

@@ -350,6 +350,20 @@ class Trainer:
             return jax.tree_util.tree_map(jax.device_put, batch)
 
         q: _queue.Queue = _queue.Queue(maxsize=2)
+        stop = _threading.Event()
+
+        def send(item) -> bool:
+            # bounded put: if the consumer died (exception in the train
+            # loop), `stop` is set and the producer exits instead of
+            # blocking forever on a full queue (leaking loader workers and
+            # device-resident batch groups)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
@@ -360,40 +374,46 @@ class Trainer:
                     shape = batch["frames"].shape
                     if group and shape != gshape:
                         for b in group:  # odd-shaped tail: flush singly
-                            q.put(("single", put_single(b)))
+                            if not send(("single", put_single(b))):
+                                return
                         group = []
                     gshape = shape
                     group.append(batch)
                     if len(group) == k:
-                        q.put(("multi", put_group(group)))
+                        if not send(("multi", put_group(group))):
+                            return
                         group = []
                 for b in group:
-                    q.put(("single", put_single(b)))
-                q.put(None)
+                    if not send(("single", put_single(b))):
+                        return
+                send(None)
             except BaseException as e:  # surface loader errors in the consumer
-                q.put(e)
+                send(e)
 
         _threading.Thread(target=producer, name="multi-step-prefetch",
                           daemon=True).start()
 
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            kind, dev = item
-            if kind == "multi":
-                rng, sub = jax.random.split(rng)
-                state, metrics = self.multi_step(state, dev, sub)
-            else:
-                rng, k_aug, k_drop = jax.random.split(rng, 3)
-                dev = self._prep_train(dev, k_aug)
-                state, metrics = self.train_step(state, dev, k_drop)
-            n = int(metrics["count"])
-            tot_loss += float(metrics["loss"]) * n
-            tot_correct += int(metrics["correct"])
-            tot_count += n
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                kind, dev = item
+                if kind == "multi":
+                    rng, sub = jax.random.split(rng)
+                    state, metrics = self.multi_step(state, dev, sub)
+                else:
+                    rng, k_aug, k_drop = jax.random.split(rng, 3)
+                    dev = self._prep_train(dev, k_aug)
+                    state, metrics = self.train_step(state, dev, k_drop)
+                n = int(metrics["count"])
+                tot_loss += float(metrics["loss"]) * n
+                tot_correct += int(metrics["correct"])
+                tot_count += n
+        finally:
+            stop.set()
         return state, {
             "train_loss": tot_loss / max(tot_count, 1),
             "train_acc": tot_correct / max(tot_count, 1),

@@ -91,6 +91,16 @@ def test_microbatcher_groups_by_shape_and_fn():
     mb.close()
 
 
+def test_microbatcher_closed_falls_through_to_direct():
+    """A closed batcher (model swap) still serves in-flight callers with a
+    direct padded batch instead of raising."""
+    mb = MicroBatcher(max_batch=8, max_wait_s=0.002, bucket_multiple=4)
+    mb.close()
+    (out,) = mb.call(lambda s: (s * 2.0,), np.ones((3,), np.float32),
+                     out_axes=(0,))
+    assert out.shape == (1, 3) and np.allclose(out, 2.0)
+
+
 def test_microbatcher_error_propagates_to_all():
     def boom(s):
         raise ValueError("batch failed")

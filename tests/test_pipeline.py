@@ -256,6 +256,16 @@ def test_pp_checkpoint_serves_through_loader(tmp_path):
     # loaded layout is the loop layout
     assert "0" in loaded_vars["params"]["blocks"]
 
+    # the evaluator's checkpoint builder must renumber too (shared
+    # normalize_state_dict helper) — a PP checkpoint evaluates, not
+    # silently random-inits its blocks
+    from deepfake_video_detection_tpu.checkpoint.store import load_any
+    from deepfake_video_detection_tpu.evals.evaluate import (
+        build_model_from_checkpoint)
+    sd, meta = load_any(path)
+    _, _, report, mt = build_model_from_checkpoint(sd, meta, "temporal")
+    assert mt == "temporal" and report["match_ratio"] == pytest.approx(1.0)
+
     x = jnp.asarray(np.random.default_rng(1).random((4, 4, 32, 32, 3)),
                     jnp.float32)
     (logits_loaded, _), _ = model.apply(loaded_vars, x, train=False)
