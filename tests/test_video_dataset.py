@@ -90,3 +90,16 @@ def test_train_cli_from_videos(video_dir, tmp_path):
         rows = list(csv.DictReader(f))
     assert len(rows) == 2
     assert all(np.isfinite(float(r["train_loss"])) for r in rows)
+
+    # the evaluator consumes raw clips too (--from-videos)
+    from deepfake_video_detection_tpu.evals.evaluate import main as eval_main
+
+    out_csv = tmp_path / "eval.csv"
+    rc = eval_main(["--data_dir", video_dir, "--from-videos",
+                    "--checkpoint", str(out / "checkpoint_best.npz"),
+                    "--num_frames", "4", "--face_size", "32",
+                    "--batch_size", "4", "--out_csv", str(out_csv)])
+    assert rc in (0, None)
+    with open(out_csv) as f:
+        erows = list(csv.DictReader(f))
+    assert len(erows) == 8 and all(r["path"].endswith(".avi") for r in erows)
