@@ -125,7 +125,9 @@ def save_torch_checkpoint(
     'model_config' / 'raw'), consumable by the reference's own loaders."""
     import torch
 
-    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+    # np.copy: jax host buffers are read-only; torch.from_numpy on them
+    # warns (and writing through the tensor would be UB)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(np.copy(v)))
           for k, v in export_to_torch_state_dict(_to_host(variables)).items()}
     meta = dict(meta or {})
     if layout == "raw":
