@@ -113,6 +113,7 @@ class Predictor:
             # the coalesced request batch shards over a `data` mesh axis and
             # every member forward runs SPMD — XLA inserts the collectives.
             n_dp = 1
+            self._n_dp = 1
             use_batcher = env_bool("SERVE_MICROBATCH", True)
             if use_batcher and env_bool("SERVE_DP", True) \
                     and len(jax.devices()) > 1:
@@ -121,6 +122,7 @@ class Predictor:
 
                 mesh = make_mesh(MeshSpec(data=len(jax.devices()), model=1))
                 n_dp = int(mesh.shape["data"])
+                self._n_dp = n_dp
                 repl = replicated_sharding(mesh)
                 self._variables = jax.device_put(variables, repl)  # one put
                 shardings = (repl, batch_sharding(mesh))
@@ -186,28 +188,39 @@ class Predictor:
     def _predict(self, video_path: str) -> Dict[str, Any]:
         if self.model_type in ("pretrained", "ensemble_pretrained", "temporal"):
             max_frames = max(1, min(64, env_int("MAX_FRAMES", 8)))
+            # long-video scanning (beyond parity — the reference analyses one
+            # ≤MAX_FRAMES span, app.py:2050): with SERVE_WINDOWS=W > 1 the
+            # sampler spreads W*T frames over the whole clip, the detector
+            # runs ONE batched forward over the W temporal windows, and the
+            # verdict comes from the most-suspicious window (max prob_fake) —
+            # a localized manipulation anywhere in a long video is caught.
+            windows = max(1, env_int("SERVE_WINDOWS", 1))
+            total = max_frames * windows
             if (self.extractor.detector == "center"
                     and env_bool("SERVE_YUV_TRANSFER", True)):
                 # production fast path (what bench.py measures): packed
                 # YUV420 over the host→device link, RGB on device
                 packed = self.extractor.extract_from_video_yuv(
-                    video_path, max_frames=max_frames)
+                    video_path, max_frames=total)
                 if packed.shape[0] == 0:
                     return {"error": "No faces detected in video"}
                 return self._predict_pretrained(
-                    packed, os.path.basename(video_path), packed_yuv=True)
+                    packed, os.path.basename(video_path), packed_yuv=True,
+                    windows=windows)
             faces = self.extractor.extract_from_video(video_path,
-                                                      max_frames=max_frames)
+                                                      max_frames=total)
             if faces.shape[0] == 0:
                 return {"error": "No faces detected in video"}
-            return self._predict_pretrained(faces, os.path.basename(video_path))
+            return self._predict_pretrained(faces, os.path.basename(video_path),
+                                            windows=windows)
         faces = self.extractor.extract_from_video(video_path)
         if faces.shape[0] == 0:
             return {"error": "No faces detected in video"}
         return self._predict_legacy(faces)
 
     def _predict_pretrained(self, faces: np.ndarray, video_id: str,
-                            packed_yuv: bool = False) -> Dict[str, Any]:
+                            packed_yuv: bool = False,
+                            windows: int = 1) -> Dict[str, Any]:
         import jax.numpy as jnp
 
         abstain_conf = env_float("DETECT_ABSTAIN_CONF", 0.60)
@@ -225,7 +238,33 @@ class Predictor:
                 "prob_fake": None, "num_faces": num_faces, "abstained": True,
             }
 
-        if getattr(self, "_batcher", None) is not None:
+        win_payload = None
+        if windows > 1:
+            # windowed scan: one batched forward over (W, T, ...) — the
+            # windows ARE the batch, so this bypasses the request batcher
+            T = max(1, faces.shape[0] // windows)
+            need = windows * T
+            if faces.shape[0] < need:  # repeat-pad short clips
+                pad = np.repeat(faces[-1:], need - faces.shape[0], axis=0)
+                faces = np.concatenate([faces, pad])
+            faces_w = np.asarray(faces[:need]).reshape(
+                (windows, T) + faces.shape[1:])
+            # under serving DP the batch (window) axis must divide the mesh:
+            # repeat-pad windows, slice the padded outputs back below
+            n_dp = getattr(self, "_n_dp", 1)
+            w_pad = -(-windows // n_dp) * n_dp
+            if w_pad > windows:
+                faces_w = np.concatenate(
+                    [faces_w, np.repeat(faces_w[-1:], w_pad - windows, 0)])
+            fwd = self._forward_yuv if packed_yuv else self._forward
+            probs, logits, frame_scores, member_logits = fwd(
+                self._variables, jnp.asarray(faces_w))
+            probs = probs[:windows]
+            logits = logits[:windows]
+            frame_scores = frame_scores[:windows]
+            if member_logits is not None:
+                member_logits = member_logits[:, :windows]
+        elif getattr(self, "_batcher", None) is not None:
             # coalesce with concurrent requests into one device step; each
             # output comes back as this request's length-1 slice, so the
             # [0]-indexing below matches the unbatched path (member logits
@@ -237,8 +276,20 @@ class Predictor:
             fwd = self._forward_yuv if packed_yuv else self._forward
             probs, logits, frame_scores, member_logits = fwd(
                 self._variables, jnp.asarray(faces)[None])
-        probs = np.asarray(probs)[0]
-        fake_idx = _get_fake_class_index(probs.shape[0])
+        probs_all = np.asarray(probs)          # (W or 1, C)
+        fake_idx = _get_fake_class_index(probs_all.shape[1])
+        # verdict from the most-suspicious window (max prob_fake): a fake
+        # segment anywhere in a long clip flags the whole video
+        widx = int(np.argmax(probs_all[:, fake_idx])) \
+            if probs_all.shape[0] > 1 else 0
+        if windows > 1:
+            win_payload = {
+                "policy": "max", "count": int(probs_all.shape[0]),
+                "deciding_window": widx,
+                "prob_fake": [round(float(p), 6)
+                              for p in probs_all[:, fake_idx]],
+            }
+        probs = probs_all[widx]
         real_idx = 1 - fake_idx if probs.shape[0] == 2 else 0
         prob_fake = float(probs[fake_idx])
         prob_real = float(probs[real_idx])
@@ -260,7 +311,7 @@ class Predictor:
         if (not env_bool("DISABLE_ENHANCED_AGENT")
                 and self.enhanced_agent is not None
                 and member_logits is not None):
-            member_np = np.asarray(member_logits)[:, 0]  # (M, C)
+            member_np = np.asarray(member_logits)[:, widx]  # (M, C)
             x = member_np - member_np.max(-1, keepdims=True)
             member_probs = np.exp(x) / np.exp(x).sum(-1, keepdims=True)
             ind = member_probs[:, fake_idx]
@@ -269,8 +320,8 @@ class Predictor:
                 # per-call overrides (not attribute mutation): the agent is
                 # shared across the ThreadingWSGIServer's request threads
                 pred = self.enhanced_agent.process_ensemble_output(
-                    np.asarray(logits)[0], list(member_np),
-                    np.asarray(frame_scores)[0], video_id, uncertainty,
+                    np.asarray(logits)[widx], list(member_np),
+                    np.asarray(frame_scores)[widx], video_id, uncertainty,
                     decision_threshold=thr, fake_class_index=fake_idx)
                 agent_payload = {
                     "is_fake": bool(pred.is_fake) if pred.is_fake is not None else None,
@@ -290,6 +341,8 @@ class Predictor:
         base = {"prob_real": prob_real, "prob_fake": prob_fake,
                 "num_faces": num_faces, "threshold": thr,
                 "enhanced_agent": agent_payload}
+        if win_payload is not None:
+            base["windows"] = win_payload
         if abstain_margin > 0.0 and abs(prob_fake - thr) <= abstain_margin:
             return {
                 "prediction": "Uncertain", "verdict_yes_no": "Unsure",

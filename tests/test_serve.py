@@ -294,3 +294,48 @@ def test_predictor_yuv_fast_path(served):
     assert out["num_faces"] >= 1
     # the YUV forward was actually used (center detector + default env)
     assert hasattr(pred, "_forward_yuv")
+
+
+def test_predict_windows_scans_long_video(monkeypatch):
+    """SERVE_WINDOWS>1 (beyond parity): one batched forward over W temporal
+    windows; the verdict comes from the most-suspicious window and the
+    result carries a per-window breakdown."""
+    import jax.numpy as jnp
+
+    from deepfake_video_detection_tpu.serve.predict import Predictor
+
+    class StubDetector:
+        def init(self, rng):
+            return {"params": {}, "state": {}}
+
+        def apply(self, variables, x, train=False, rng=None):
+            B, T = x.shape[0], x.shape[1]
+            m = jnp.mean(x, axis=(1, 2, 3, 4))      # (B,) window mean
+            logits = jnp.stack([m, -m], axis=-1) * 8.0
+            return (logits, jnp.full((B, T), 1.0 / T)), {}
+
+    monkeypatch.setenv("MIN_FACES", "1")
+    monkeypatch.setenv("DETECT_ABSTAIN_CONF", "0.0")
+    model = StubDetector()
+    pred = Predictor(model, model.init(None), "pretrained",
+                     extractor=FaceExtractor(detector="center", face_size=16))
+
+    # 3 windows x 4 frames: window 1 is darkest => highest prob_fake
+    w_bright = np.full((4, 16, 16, 3), 220, np.uint8)
+    w_dark = np.full((4, 16, 16, 3), 10, np.uint8)
+    w_mid = np.full((4, 16, 16, 3), 120, np.uint8)
+    faces = np.concatenate([w_bright, w_dark, w_mid])
+
+    out = pred._predict_pretrained(faces, "longvid", windows=3)
+    assert "windows" in out, out
+    w = out["windows"]
+    assert w["count"] == 3 and w["policy"] == "max"
+    assert w["deciding_window"] == 1
+    assert w["prob_fake"][1] == max(w["prob_fake"])
+    assert out["prob_fake"] == pytest.approx(w["prob_fake"][1], abs=1e-6)
+    assert out["prediction"] == "Deepfake"
+
+    # single-window default: no windows payload, bright clip reads Real
+    out1 = pred._predict_pretrained(w_bright, "shortvid")
+    assert "windows" not in out1
+    assert out1["prediction"] == "Real"
