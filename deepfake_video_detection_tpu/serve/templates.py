@@ -173,6 +173,29 @@ def _verdict_span(result: Dict[str, Any]) -> str:
 
 def results_page(items: List[Dict[str, Any]], user: Optional[str]) -> str:
     cards = []
+
+    def _windows_strip(w) -> str:
+        """Per-window fake-prob bar strip for long-video scans
+        (SERVE_WINDOWS > 1, docs/serving.md)."""
+        if not isinstance(w, dict) or not w.get("prob_fake"):
+            return ""
+        probs = w["prob_fake"]
+        n = len(probs)
+        bw = max(8, min(48, 360 // max(n, 1)))
+        bars = []
+        for i, p in enumerate(probs):
+            h = max(2, int(round(float(p) * 48)))
+            color = "#d9534f" if i == w.get("deciding_window") else "#8884"
+            bars.append(
+                f'<rect x="{i * (bw + 3)}" y="{50 - h}" width="{bw}" '
+                f'height="{h}" fill="{color}"><title>window {i}: '
+                f'{float(p) * 100:.1f}% fake</title></rect>')
+        svg = (f'<svg width="{n * (bw + 3)}" height="52" role="img" '
+               f'aria-label="per-window fake probability">{"".join(bars)}'
+               "</svg>")
+        return (f'<p class="muted">Timeline scan ({n} windows, verdict from '
+                f"window {w.get('deciding_window')}):</p>{svg}")
+
     for item in items:
         result = item.get("result", {})
         fname = html.escape(item.get("filename", "video"))
@@ -187,10 +210,12 @@ def results_page(items: List[Dict[str, Any]], user: Optional[str]) -> str:
         pf_s = f"{pf * 100:.1f}%" if isinstance(pf, float) else "–"
         just = html.escape(item.get("justification", ""))
         msg = html.escape(item.get("message", ""))
+        windows_html = _windows_strip(result.get("windows"))
         cards.append(f"""
 <div class="card"><h2>{fname}</h2>
 <p>Verdict: {_verdict_span(result)} &nbsp; <span class="muted">confidence
 {conf_s} · fake prob {pf_s} · faces {result.get("num_faces", "–")}</span></p>
+{windows_html}
 <p>{msg}</p>
 <details><summary>Full 200-word report</summary><pre id="just">{just}</pre></details>
 <details><summary>Raw result</summary>

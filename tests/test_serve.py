@@ -339,3 +339,20 @@ def test_predict_windows_scans_long_video(monkeypatch):
     out1 = pred._predict_pretrained(w_bright, "shortvid")
     assert "windows" not in out1
     assert out1["prediction"] == "Real"
+
+
+def test_results_page_renders_window_strip():
+    from deepfake_video_detection_tpu.serve import templates as T
+
+    h = T.results_page([{"filename": "long.avi", "result": {
+        "prediction": "Deepfake", "pred_class": 1, "confidence": 0.8,
+        "prob_fake": 0.7, "num_faces": 32,
+        "windows": {"policy": "max", "count": 4, "deciding_window": 2,
+                    "prob_fake": [0.1, 0.2, 0.7, 0.3]}},
+        "message": "m", "justification": "j"}], None)
+    assert "Timeline scan" in h and "<svg" in h and "window 2" in h
+    h2 = T.results_page([{"filename": "a.avi", "result": {
+        "prediction": "Real", "pred_class": 0, "confidence": 0.9,
+        "prob_fake": 0.1, "num_faces": 8},
+        "message": "m", "justification": "j"}], None)
+    assert "Timeline scan" not in h2
