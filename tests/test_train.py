@@ -448,3 +448,26 @@ def test_trainer_steps_per_call_matches_plain(npz_dir, tmp_path):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
         p1, p2)
+
+
+def test_training_is_deterministic(npz_dir, tmp_path):
+    """Same seed → bit-identical parameters across two independent Trainer
+    runs (augment on: device-side augs draw from the seeded rng chain)."""
+    model = TinyDetector()
+    ds = VideoFacesDataset(npz_dir, num_frames=4)
+    mesh = make_mesh()
+
+    def run(out):
+        cfg = TrainerConfig(out_dir=str(tmp_path / out), epochs=2,
+                            batch_size=8, num_frames=4, lr=1e-2,
+                            balance="sampler", augment=True, save_every=100,
+                            seed=11)
+        tr = Trainer(model, ds, ds, cfg, mesh=mesh)
+        state = tr.init_state()
+        for ep in range(cfg.epochs):
+            state, _ = tr.train_epoch(state, ep)
+        return jax.tree_util.tree_map(np.asarray, state.params)
+
+    p1, p2 = run("a"), run("b")
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b), p1, p2)
