@@ -205,8 +205,15 @@ class FaceExtractor:
     def extract_from_video(self, path: str,
                            sample_rate: Optional[int] = None,
                            max_frames: Optional[int] = None,
-                           keyframes_only: Optional[bool] = None) -> np.ndarray:
-        """≙ ``extract_faces_from_video`` (``app.py:1908-2025``)."""
+                           keyframes_only: Optional[bool] = None,
+                           spread: bool = False) -> np.ndarray:
+        """≙ ``extract_faces_from_video`` (``app.py:1908-2025``).
+
+        ``spread=True`` guarantees the samples cover the WHOLE clip
+        (long-video scanning, SERVE_WINDOWS): seek-based sampling for the
+        center detector, probe-derived stride otherwise — the default scan
+        path only reads the first ``sample_rate * max_frames`` frames.
+        """
         if max_frames is None:
             max_frames = max(1, min(_env_int("MAX_FRAMES", 8), 64))
         if self.detector == "center":
@@ -219,9 +226,9 @@ class FaceExtractor:
                 keyframes_only = os.environ.get(
                     "VIDEO_KEYFRAMES_ONLY", "").strip().lower() in (
                     "1", "true", "yes")
-            if keyframes_only and os.environ.get(
+            if spread or (keyframes_only and os.environ.get(
                     "VIDEO_SEEK_SAMPLING", "1").strip().lower() in (
-                    "1", "true", "yes"):
+                    "1", "true", "yes")):
                 # seek-based: exactly max_frames keyframe decodes, evenly
                 # spread — strictly less host work AND better temporal
                 # coverage than scanning every sample_rate-th keyframe
@@ -234,6 +241,16 @@ class FaceExtractor:
                 path, face_size=self.face_size, sample_rate=sample_rate,
                 max_frames=max_frames, margin=self.margin,
                 keyframes_only=keyframes_only)
+        if spread and sample_rate is None:
+            # whole-clip coverage for the scan sampler: stride the clip so
+            # max_frames samples span it end to end
+            from deepfake_video_detection_tpu.data.video import probe_video
+            try:
+                _, _, _, n_total = probe_video(path)
+                if n_total > 0:
+                    sample_rate = max(1, n_total // max(1, max_frames))
+            except Exception:
+                pass
         frames = sample_video_frames(path, sample_rate=sample_rate,
                                      max_frames=max_frames,
                                      keyframes_only=keyframes_only)

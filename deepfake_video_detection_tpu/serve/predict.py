@@ -194,7 +194,7 @@ class Predictor:
             # runs ONE batched forward over the W temporal windows, and the
             # verdict comes from the most-suspicious window (max prob_fake) —
             # a localized manipulation anywhere in a long video is caught.
-            windows = max(1, env_int("SERVE_WINDOWS", 1))
+            windows = max(1, min(64, env_int("SERVE_WINDOWS", 1)))
             total = max_frames * windows
             if (self.extractor.detector == "center"
                     and env_bool("SERVE_YUV_TRANSFER", True)):
@@ -208,7 +208,8 @@ class Predictor:
                     packed, os.path.basename(video_path), packed_yuv=True,
                     windows=windows)
             faces = self.extractor.extract_from_video(video_path,
-                                                      max_frames=total)
+                                                      max_frames=total,
+                                                      spread=windows > 1)
             if faces.shape[0] == 0:
                 return {"error": "No faces detected in video"}
             return self._predict_pretrained(faces, os.path.basename(video_path),
@@ -242,7 +243,7 @@ class Predictor:
         if windows > 1:
             # windowed scan: one batched forward over (W, T, ...) — the
             # windows ARE the batch, so this bypasses the request batcher
-            T = max(1, faces.shape[0] // windows)
+            T = max(1, -(-faces.shape[0] // windows))  # ceil: keep the tail
             need = windows * T
             if faces.shape[0] < need:  # repeat-pad short clips
                 pad = np.repeat(faces[-1:], need - faces.shape[0], axis=0)

@@ -171,31 +171,31 @@ def _verdict_span(result: Dict[str, Any]) -> str:
     return f'<span class="{cls}">{html.escape(str(v))}</span>'
 
 
+def _windows_strip(w) -> str:
+    """Per-window fake-prob bar strip for long-video scans
+    (SERVE_WINDOWS > 1, docs/serving.md)."""
+    if not isinstance(w, dict) or not w.get("prob_fake"):
+        return ""
+    probs = w["prob_fake"]
+    n = len(probs)
+    bw = max(8, min(48, 360 // max(n, 1)))
+    bars = []
+    for i, p in enumerate(probs):
+        h = max(2, int(round(float(p) * 48)))
+        color = "#d9534f" if i == w.get("deciding_window") else "#8884"
+        bars.append(
+            f'<rect x="{i * (bw + 3)}" y="{50 - h}" width="{bw}" '
+            f'height="{h}" fill="{color}"><title>window {i}: '
+            f'{float(p) * 100:.1f}% fake</title></rect>')
+    svg = (f'<svg width="{n * (bw + 3)}" height="52" role="img" '
+           f'aria-label="per-window fake probability">{"".join(bars)}'
+           "</svg>")
+    return (f'<p class="muted">Timeline scan ({n} windows, verdict from '
+            f"window {w.get('deciding_window')}):</p>{svg}")
+
+
 def results_page(items: List[Dict[str, Any]], user: Optional[str]) -> str:
     cards = []
-
-    def _windows_strip(w) -> str:
-        """Per-window fake-prob bar strip for long-video scans
-        (SERVE_WINDOWS > 1, docs/serving.md)."""
-        if not isinstance(w, dict) or not w.get("prob_fake"):
-            return ""
-        probs = w["prob_fake"]
-        n = len(probs)
-        bw = max(8, min(48, 360 // max(n, 1)))
-        bars = []
-        for i, p in enumerate(probs):
-            h = max(2, int(round(float(p) * 48)))
-            color = "#d9534f" if i == w.get("deciding_window") else "#8884"
-            bars.append(
-                f'<rect x="{i * (bw + 3)}" y="{50 - h}" width="{bw}" '
-                f'height="{h}" fill="{color}"><title>window {i}: '
-                f'{float(p) * 100:.1f}% fake</title></rect>')
-        svg = (f'<svg width="{n * (bw + 3)}" height="52" role="img" '
-               f'aria-label="per-window fake probability">{"".join(bars)}'
-               "</svg>")
-        return (f'<p class="muted">Timeline scan ({n} windows, verdict from '
-                f"window {w.get('deciding_window')}):</p>{svg}")
-
     for item in items:
         result = item.get("result", {})
         fname = html.escape(item.get("filename", "video"))

@@ -286,3 +286,26 @@ def test_extract_from_video_yuv_api(test_video):
     ex_mtcnn = FaceExtractor(detector="none", face_size=32)
     with pytest.raises(ValueError):
         ex_mtcnn.extract_from_video_yuv(test_video)
+
+
+def test_extract_spread_covers_whole_clip(tmp_path):
+    """spread=True must sample the WHOLE clip on every detector path (the
+    long-video scan depends on it); the default scan path only reads the
+    first sample_rate*max_frames frames."""
+    from deepfake_video_detection_tpu.data.faces import FaceExtractor
+    from deepfake_video_detection_tpu.data.video import encode_video
+
+    # brightness ramps 0 -> ~250 over 120 frames
+    frames = np.stack([np.full((48, 64, 3), min(250, 2 * i), np.uint8)
+                       for i in range(120)])
+    vid = str(tmp_path / "ramp_fake.avi")
+    encode_video(vid, frames, fps=30)
+
+    for detector in ("center", "none"):
+        ex = FaceExtractor(detector=detector, face_size=32)
+        head = ex.extract_from_video(vid, max_frames=4)  # default: early frames
+        spread = ex.extract_from_video(vid, max_frames=4, spread=True)
+        assert head.shape[0] >= 1 and spread.shape[0] >= 1
+        # spread samples reach the bright end of the clip; head-only doesn't
+        assert float(spread[-1].mean()) > float(head[-1].mean()) + 40, detector
+        assert float(spread[-1].mean()) > 150, detector
