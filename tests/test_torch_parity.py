@@ -18,7 +18,8 @@ from deepfake_video_detection_tpu.models.vit import VisionTransformer
 
 
 def _t(sd, k):
-    return torch.from_numpy(np.asarray(sd[k]))
+    # copy: jax host buffers are read-only and torch.from_numpy warns on them
+    return torch.from_numpy(np.array(sd[k]))
 
 
 def _bn(sd, prefix, x):
