@@ -30,7 +30,7 @@ def _torch_effnet_forward(model: EfficientNet, sd: dict, x_nchw):
     import torch
     import torch.nn.functional as F
 
-    t = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+    t = {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}
 
     def bn(prefix, x, eps=1e-5):
         return F.batch_norm(x, t[f"{prefix}.running_mean"], t[f"{prefix}.running_var"],
