@@ -168,6 +168,37 @@ class Predictor:
         if self._variables is None:  # non-DP paths: plain single placement
             self._variables = jax.device_put(variables)
 
+        # startup warmup (default on): compile the serving forward at the
+        # configured shape in a background thread so the FIRST user request
+        # doesn't pay the jit cost (minutes for a real backbone on a cold
+        # cache). Runs after __init__ returns; failures are non-fatal.
+        if env_bool("SERVE_WARMUP", True) and model_type in (
+                "pretrained", "ensemble_pretrained", "temporal"):
+            import threading
+
+            threading.Thread(target=self.warmup, name="predictor-warmup",
+                             daemon=True).start()
+
+    def warmup(self) -> None:
+        """Compile-and-run the production forward on a dummy batch."""
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            T = max(1, min(64, env_int("MAX_FRAMES", 8)))
+            size = self.extractor.face_size
+            n_dp = getattr(self, "_n_dp", 1)
+            if (self.extractor.detector == "center"
+                    and env_bool("SERVE_YUV_TRANSFER", True)):
+                packed = jnp.zeros((n_dp, T, size * size * 3 // 2), jnp.uint8)
+                out = self._forward_yuv(self._variables, packed)
+            else:
+                frames = jnp.zeros((n_dp, T, size, size, 3), jnp.uint8)
+                out = self._forward(self._variables, frames)
+            jax.block_until_ready(out[0])
+        except Exception:  # warmup must never take the server down
+            pass
+
     # ------------------------------------------------------------------
 
     def predict_video(self, video_path: str) -> Dict[str, Any]:

@@ -356,3 +356,42 @@ def test_results_page_renders_window_strip():
         "prob_fake": 0.1, "num_faces": 8},
         "message": "m", "justification": "j"}], None)
     assert "Timeline scan" not in h2
+
+
+def test_predictor_warmup_compiles_serving_forward(monkeypatch):
+    """SERVE_WARMUP (default on) pre-compiles the production forward in the
+    background so the first request doesn't pay the jit cost."""
+    import time
+
+    from deepfake_video_detection_tpu.serve.predict import Predictor
+
+    calls = []
+
+    class StubDetector:
+        def init(self, rng):
+            return {"params": {}, "state": {}}
+
+        def apply(self, variables, x, train=False, rng=None):
+            import jax.numpy as jnp
+
+            calls.append(tuple(x.shape))
+            B, T = x.shape[0], x.shape[1]
+            return (jnp.zeros((B, 2)), jnp.full((B, T), 1.0 / T)), {}
+
+    monkeypatch.setenv("MAX_FRAMES", "4")
+    monkeypatch.setenv("SERVE_YUV_TRANSFER", "0")
+    model = StubDetector()
+    pred = Predictor(model, model.init(None), "pretrained",
+                     extractor=FaceExtractor(detector="center", face_size=16))
+    for _ in range(100):  # background thread: wait briefly
+        if calls:
+            break
+        time.sleep(0.05)
+    assert calls and calls[0][1:] == (4, 16, 16, 3), calls
+
+    calls.clear()
+    monkeypatch.setenv("SERVE_WARMUP", "0")
+    Predictor(model, model.init(None), "pretrained",
+              extractor=FaceExtractor(detector="center", face_size=16))
+    time.sleep(0.2)
+    assert not calls
