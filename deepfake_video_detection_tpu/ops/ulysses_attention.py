@@ -54,6 +54,12 @@ def ulysses_attention(
         raise ValueError(
             f"ulysses needs num_heads ({h}) divisible by the seq-parallel "
             f"degree ({s}); use ring_attention otherwise")
+    n = q.shape[2]
+    if n % s != 0:
+        raise ValueError(
+            f"ulysses needs the global sequence length ({n}) divisible by "
+            f"the seq-parallel degree ({s}) — pad the sequence or pick a "
+            f"mesh whose '{seq_axis}' axis divides it")
 
     def local(qs, ks, vs):
         # qs/ks/vs: (B_shard, H, N/s, d) — seq-sharded layout.

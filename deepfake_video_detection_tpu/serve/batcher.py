@@ -205,7 +205,15 @@ class MicroBatcher:
         except BaseException as exc:  # propagate to every still-waiting
             for e in entries:         # caller (never clobber a result that
                 if not e.event.is_set():  # was already handed out)
-                    e.error = exc
+                    # fresh instance per waiter: multiple request threads
+                    # re-raising ONE shared exception object mutate its
+                    # traceback concurrently → interleaved server logs
+                    try:
+                        err: BaseException = type(exc)(*exc.args)
+                    except Exception:
+                        err = RuntimeError(f"batched forward failed: {exc!r}")
+                    err.__cause__ = exc
+                    e.error = err
                     e.event.set()
 
 

@@ -188,14 +188,23 @@ class Predictor:
             T = max(1, min(64, env_int("MAX_FRAMES", 8)))
             size = self.extractor.face_size
             n_dp = getattr(self, "_n_dp", 1)
-            if (self.extractor.detector == "center"
-                    and env_bool("SERVE_YUV_TRANSFER", True)):
-                packed = jnp.zeros((n_dp, T, size * size * 3 // 2), jnp.uint8)
-                out = self._forward_yuv(self._variables, packed)
-            else:
-                frames = jnp.zeros((n_dp, T, size, size, 3), jnp.uint8)
-                out = self._forward(self._variables, frames)
-            jax.block_until_ready(out[0])
+            yuv = (self.extractor.detector == "center"
+                   and env_bool("SERVE_YUV_TRANSFER", True))
+            # the windowed-scan path (SERVE_WINDOWS>1) runs its own
+            # (w_pad, T) batch shape — pre-compile it too so the first
+            # long-video request doesn't pay full jit cost
+            windows = max(1, min(64, env_int("SERVE_WINDOWS", 1)))
+            batch_sizes = [n_dp]
+            if windows > 1:
+                batch_sizes.append(-(-windows // n_dp) * n_dp)
+            for b in batch_sizes:
+                if yuv:
+                    packed = jnp.zeros((b, T, size * size * 3 // 2), jnp.uint8)
+                    out = self._forward_yuv(self._variables, packed)
+                else:
+                    frames = jnp.zeros((b, T, size, size, 3), jnp.uint8)
+                    out = self._forward(self._variables, frames)
+                jax.block_until_ready(out[0])
         except Exception:  # warmup must never take the server down
             pass
 
@@ -216,6 +225,20 @@ class Predictor:
 
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _pad_to_fixed_scan_shape(faces: np.ndarray, windows: int,
+                                 total: int) -> np.ndarray:
+        """Cycle-pad an under-length scan extraction up to ``total`` frames
+        so the windowed forward always compiles ONE shape,
+        (windows, MAX_FRAMES, ...) — every distinct extracted-frame count
+        would otherwise be a fresh XLA program (minutes through the TPU
+        relay). Clips below ``MIN_FACES`` are passed through unpadded so
+        the abstain gate still sees the true frame count."""
+        n = int(faces.shape[0])
+        if windows <= 1 or n >= total or n < max(1, env_int("MIN_FACES", 2)):
+            return faces
+        return faces[np.arange(total) % n]
+
     def _predict(self, video_path: str) -> Dict[str, Any]:
         if self.model_type in ("pretrained", "ensemble_pretrained", "temporal"):
             max_frames = max(1, min(64, env_int("MAX_FRAMES", 8)))
@@ -235,6 +258,7 @@ class Predictor:
                     video_path, max_frames=total)
                 if packed.shape[0] == 0:
                     return {"error": "No faces detected in video"}
+                packed = self._pad_to_fixed_scan_shape(packed, windows, total)
                 return self._predict_pretrained(
                     packed, os.path.basename(video_path), packed_yuv=True,
                     windows=windows)
@@ -243,6 +267,7 @@ class Predictor:
                                                       spread=windows > 1)
             if faces.shape[0] == 0:
                 return {"error": "No faces detected in video"}
+            faces = self._pad_to_fixed_scan_shape(faces, windows, total)
             return self._predict_pretrained(faces, os.path.basename(video_path),
                                             windows=windows)
         faces = self.extractor.extract_from_video(video_path)

@@ -154,8 +154,11 @@ def make_multi_step(
     pass the trainer's augment+normalize so aug, norm, forward, backward and
     update all fuse into the one program.
 
-    Numerics are identical to ``k`` sequential single steps
-    (``tests/test_train.py::test_multi_step_matches_sequential``).
+    Numerics are identical to ``k`` sequential single steps with the same
+    per-step rng keys (``tests/test_train.py::test_multi_step_matches_sequential``);
+    note the trainer's epoch loops derive those keys differently per path,
+    so stochastic prep/dropout sees a different (still seeded) stream under
+    ``steps_per_call > 1`` — see ``Trainer._train_epoch_multi``.
     """
     step = _build_step(model, tx, loss_fn, remat=remat,
                        aux_loss_weight=aux_loss_weight)

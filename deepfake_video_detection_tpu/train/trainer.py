@@ -321,7 +321,12 @@ class Trainer:
         group while the current dispatch runs (the multi analogue of
         ``prefetch_to_device`` — without it the epoch serializes host npz
         decode against device compute and loses more than the dispatch
-        amortization wins). Numerics match the plain loop exactly."""
+        amortization wins). Step math is identical to the plain loop; the
+        RNG chain is NOT — one key per k-group split into 2k subkeys here
+        vs split(rng, 3) per batch there — so with augmentation or dropout
+        enabled the two paths train on different (equally seeded) random
+        draws. ``test_multi_step_matches_sequential`` pins the
+        deterministic (augment/dropout off) equivalence."""
         import queue as _queue
         import threading as _threading
 
