@@ -7,15 +7,25 @@ resize to ``FACE_SIZE`` (default 224). Env knobs honoured:
 ``VIDEO_SAMPLE_RATE``, ``FACE_DETECTOR``, ``MAX_FRAMES``, ``FACE_SIZE``,
 ``KEEP_ALL_FACES``.
 
-Detectors:
+Detectors (fallback chain mtcnn → haar → center, like the reference's
+MTCNN → Haar chain at ``app.py:1988-2025``):
 * ``mtcnn``  — the JAX cascade (``models/mtcnn.py``); needs pretrained
   weights (facenet-pytorch layout) supplied via ``MTCNN_WEIGHTS`` — the
   image ships none, so this is opt-in;
-* ``center`` — weight-free fallback (≙ the reference's Haar fallback role,
-  ``app.py:1988-2025``): a face-prior center square crop with margin.
-  DFDC-style clips are face-framed, so this keeps the pipeline functional
-  end-to-end without any learned detector;
-* ``none``   — frames are already face crops (``--frames-are-faces``).
+* ``haar``   — the first-party Viola-Jones detector (``data/haar.py`` +
+  ``native/haar.cc``) over the Haar cascade XMLs installed with OpenCV:
+  a REAL weight-free detector (≙ ``cv2.CascadeClassifier(...).
+  detectMultiScale(gray, 1.1, 4)``, ``app.py:2001-2012``). Host-side,
+  ~10-30 ms/frame at the HAAR_MAX_SIDE=320 detection resolution;
+* ``center`` — last-resort weight-free prior: a center square crop with
+  margin. DFDC-style clips are face-framed, so this keeps the pipeline
+  functional even with no cascade XML installed — and it is the fastest
+  serving path (in-decoder crop, no per-frame host detection), so
+  ``FACE_DETECTOR=center`` remains the documented max-throughput opt-in
+  (what ``bench.py`` measures);
+* ``none``   — frames are already face crops (``--frames-are-faces``);
+* ``auto``   (default) — mtcnn if MTCNN_WEIGHTS is set, else haar if a
+  cascade XML is found, else center.
 
 Crops are batched per video; resize runs as one vectorised
 ``jax.image.scale_and_translate`` call on device (the reference resized one
@@ -102,10 +112,8 @@ class FaceExtractor:
                  margin: float = 0.1,
                  mtcnn_weights: Optional[str] = None):
         self._mtcnn_weights = mtcnn_weights or os.environ.get("MTCNN_WEIGHTS")
-        default = ("mtcnn" if self._mtcnn_weights
-                   and os.path.exists(self._mtcnn_weights) else "center")
         self.detector = (detector
-                         or os.environ.get("FACE_DETECTOR", default)
+                         or os.environ.get("FACE_DETECTOR", "auto")
                          ).strip().lower()
         self.face_size = face_size or _env_int("FACE_SIZE", 224)
         if keep_all is None:
@@ -115,17 +123,43 @@ class FaceExtractor:
         self.margin = margin
         self._mtcnn_cache = {}
         self._mtcnn_params = None
-        if self.detector == "mtcnn" and not self._mtcnn_weights:
-            # no learned weights available → degrade (≙ the reference's
-            # MTCNN→Haar fallback chain) — LOUDLY, so detection quality
-            # doesn't silently become a center-crop prior in production
-            import logging
+        self.detector = self._resolve_detector(self.detector)
 
-            logging.getLogger(__name__).warning(
+    def _resolve_detector(self, requested: str) -> str:
+        """Fallback chain mtcnn → haar → center (≙ the reference's
+        MTCNN → Haar chain, ``app.py:1988-2025``). Degrades LOUDLY so
+        detection quality never silently becomes a center-crop prior."""
+        import logging
+
+        log = logging.getLogger(__name__)
+        have_weights = bool(self._mtcnn_weights
+                            and os.path.exists(self._mtcnn_weights))
+
+        def have_haar() -> bool:
+            from deepfake_video_detection_tpu.data.haar import (
+                get_default_cascade)
+            return get_default_cascade() is not None
+
+        if requested == "auto":
+            if have_weights:
+                return "mtcnn"
+            return "haar" if have_haar() else "center"
+        if requested == "mtcnn" and not have_weights:
+            nxt = "haar" if have_haar() else "center"
+            log.warning(
                 "FACE_DETECTOR=mtcnn requested but MTCNN_WEIGHTS is unset — "
-                "falling back to the 'center' face prior. Export weights "
-                "with tools/export_facenet_mtcnn.py and set MTCNN_WEIGHTS.")
-            self.detector = "center"
+                "falling back to the '%s' detector. Export weights with "
+                "tools/export_facenet_mtcnn.py and set MTCNN_WEIGHTS.", nxt)
+            return nxt
+        if requested == "haar":
+            if have_haar():
+                return "haar"
+            log.warning(
+                "FACE_DETECTOR=haar requested but no Haar cascade XML was "
+                "found (set HAAR_CASCADE or install the OpenCV haarcascades "
+                "data) — falling back to the 'center' face prior.")
+            return "center"
+        return requested
 
     # -- detection ------------------------------------------------------------
 
@@ -169,6 +203,25 @@ class FaceExtractor:
                 boxes_out.append(boxes[int(areas.argmax())][None])
         return boxes_out
 
+    def _detect_haar(self, frames: np.ndarray):
+        """Per-frame Viola-Jones boxes (xyxy) — largest unless keep_all,
+        like the reference's Haar branch (``app.py:2001-2012``, which keeps
+        ``max(rects, key=area)``). None for frames with no detection."""
+        from deepfake_video_detection_tpu.data.haar import detect_faces
+
+        min_neighbors = _env_int("HAAR_MIN_NEIGHBORS", 4)
+        out = []
+        for frame in frames:
+            xyxy, _counts = detect_faces(frame, min_neighbors=min_neighbors)
+            if len(xyxy) == 0:
+                out.append(None)
+            elif self.keep_all:
+                out.append(xyxy)
+            else:
+                areas = (xyxy[:, 2] - xyxy[:, 0]) * (xyxy[:, 3] - xyxy[:, 1])
+                out.append(xyxy[int(np.argmax(areas))][None])
+        return out
+
     # -- public API -----------------------------------------------------------
 
     def extract_from_frames(self, frames: np.ndarray) -> np.ndarray:
@@ -179,8 +232,10 @@ class FaceExtractor:
         if self.detector == "none":
             boxes = np.tile(np.array([0, 0, W, H], np.float32), (n, 1))
             return crop_and_resize_batch(frames, boxes, self.face_size)
-        if self.detector == "mtcnn":
-            per_frame = self._detect_mtcnn(frames)
+        if self.detector in ("mtcnn", "haar"):
+            per_frame = (self._detect_mtcnn(frames)
+                         if self.detector == "mtcnn"
+                         else self._detect_haar(frames))
             sel_frames, sel_boxes = [], []
             for frame, boxes in zip(frames, per_frame):
                 if boxes is None:
@@ -193,6 +248,16 @@ class FaceExtractor:
                                       b[2] + w * m, b[3] + h * m])
                     sel_frames.append(frame)
             if not sel_boxes:  # fallback chain: detector found nothing
+                if self.detector == "mtcnn":
+                    # ≙ app.py:1988: MTCNN empty → run the Haar pass before
+                    # giving up on detection entirely
+                    from deepfake_video_detection_tpu.data.haar import (
+                        get_default_cascade)
+                    if get_default_cascade() is not None:
+                        chain = FaceExtractor(
+                            detector="haar", face_size=self.face_size,
+                            keep_all=self.keep_all, margin=self.margin)
+                        return chain.extract_from_frames(frames)
                 boxes = center_square_boxes(n, H, W, self.margin)
                 return crop_and_resize_batch(frames, boxes, self.face_size)
             return crop_and_resize_batch(

@@ -190,7 +190,9 @@ def main(argv=None) -> int:
     ap.add_argument("--frames-are-faces", dest="frames_are_faces",
                     action="store_true")
     ap.add_argument("--labels_csv", default=None)
-    ap.add_argument("--detector", default=None, help="mtcnn|center|none")
+    ap.add_argument("--detector", default=None,
+                    help="auto|mtcnn|haar|center|none (default: auto — "
+                         "mtcnn if MTCNN_WEIGHTS else haar else center)")
     ap.add_argument("--workers", type=int, default=os.cpu_count() or 4)
     args = ap.parse_args(argv)
 

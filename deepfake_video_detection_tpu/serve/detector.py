@@ -1,9 +1,9 @@
 """Legacy detector wrapper (≙ ``src/detector.py:9-167`` — unused by the
 reference's app but part of its public surface).
 
-Wraps a model with simple face extraction (the weight-free center detector —
-the reference's Haar-only path), preprocessing, the rnn/gcn dispatch, and the
-canned markdown explanation.
+Wraps a model with weight-free face extraction (the first-party Haar
+detector, matching the reference's Haar-only path), preprocessing, the
+rnn/gcn dispatch, and the canned markdown explanation.
 """
 
 from __future__ import annotations
@@ -26,7 +26,9 @@ class DeepfakeDetector:
         self.model = model
         self.variables = variables
         self.model_type = model_type
-        self.extractor = extractor or FaceExtractor(detector="center")
+        # the reference's legacy wrapper is Haar-only (src/detector.py:9);
+        # resolution degrades to 'center' when no cascade XML is installed
+        self.extractor = extractor or FaceExtractor(detector="haar")
 
     def extract_faces(self, video_path: str, max_frames: int = 10) -> np.ndarray:
         try:

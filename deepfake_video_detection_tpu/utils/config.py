@@ -70,7 +70,7 @@ class PreprocessConfig:
     max_frames: int = 8
     min_faces: int = 1
     face_size: int = 224
-    face_detector: str = "auto"          # auto | mtcnn | haar | none
+    face_detector: str = "auto"          # auto | mtcnn | haar | center | none
     keep_all_faces: bool = False
     video_backend: str = "auto"          # auto | imageio | opencv
 
