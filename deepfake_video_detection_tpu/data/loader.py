@@ -110,12 +110,14 @@ class Loader:
 
 
 def prefetch_to_device(iterator, mesh=None, size: int = 2,
-                       transform=None):
+                       transform=None, batch_specs=None):
     """Wrap a host batch iterator with an N-deep device prefetch queue.
 
     ``transform(batch)`` runs on the consumer thread right after transfer —
     pass the jitted augment+normalize here so it's queued on device while the
     previous step computes (async dispatch does the overlapping).
+    ``batch_specs``: optional ``key -> PartitionSpec`` for model-parallel
+    plans (see ``parallel.mesh.shard_batch``).
     """
     import jax
 
@@ -127,7 +129,7 @@ def prefetch_to_device(iterator, mesh=None, size: int = 2,
         paths = batch.pop("paths", None)
         arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
         if mesh is not None:
-            dev = shard_batch(arrays, mesh)
+            dev = shard_batch(arrays, mesh, specs=batch_specs)
         else:
             dev = jax.tree_util.tree_map(jax.device_put, arrays)
         if transform is not None:

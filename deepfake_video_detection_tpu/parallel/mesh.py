@@ -66,12 +66,20 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
+def shard_batch(batch: Any, mesh: Mesh, axis: str = "data",
+                specs: Any = None) -> Any:
     """Device-put a pytree of host arrays with dim-0 sharded over ``axis``.
 
     Batch dim must be divisible by the axis size — callers pad (the data
     loader guarantees this; XLA requires static shapes anyway).
+
+    ``specs`` (optional): ``key -> PartitionSpec`` callable for dict
+    batches — model-parallel plans use it to shard e.g. the frame axis over
+    ``seq`` too (``parallel.strategy.ParallelPlan.batch_spec``).
     """
+    if specs is not None and isinstance(batch, dict):
+        return {k: jax.device_put(v, NamedSharding(mesh, specs(k)))
+                for k, v in batch.items()}
     sh = batch_sharding(mesh, axis)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 

@@ -45,7 +45,14 @@ def main(argv=None) -> int:
     ap.add_argument("--steps_per_call", type=int, default=1,
                     help="optimizer steps fused into one device dispatch "
                          "(scan-of-steps; amortizes dispatch overhead)")
+    from deepfake_video_detection_tpu.parallel.strategy import (
+        add_parallel_args, build_plan)
+    add_parallel_args(ap, temporal=False)
     args = ap.parse_args(argv)
+
+    # member params keep BackboneDetector leaf names (models.i.fc1.weight),
+    # so the flagship TP rules apply to every ensemble member
+    plan, _ = build_plan(args, "pretrained", args.num_frames)
 
     backbones = [b.strip() for b in args.backbones.split(",") if b.strip()]
     ds = VideoFacesDataset(args.data_dir, num_frames=args.num_frames,
@@ -67,8 +74,13 @@ def main(argv=None) -> int:
         model_config={"model_type": "ensemble", "backbones": backbones,
                       "ensemble_method": args.ensemble_method},
     )
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
-    trainer = Trainer(model, train_ds, val_ds, cfg, mesh=mesh)
+    if plan is not None:
+        print(f"parallelism plan: {plan.description} over "
+              f"{plan.mesh.devices.size} devices")
+        trainer = Trainer(model, train_ds, val_ds, cfg, plan=plan)
+    else:
+        mesh = make_mesh() if len(jax.devices()) > 1 else None
+        trainer = Trainer(model, train_ds, val_ds, cfg, mesh=mesh)
     state = trainer.resume(args.resume) if args.resume else None
     trainer.train(state)
     return 0

@@ -39,7 +39,12 @@ def main(argv=None) -> int:
     ap.add_argument("--resume", default=None)
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--recursive", action="store_true")
+    from deepfake_video_detection_tpu.parallel.strategy import (
+        add_parallel_args, build_plan)
+    add_parallel_args(ap, temporal=False)
     args = ap.parse_args(argv)
+
+    plan, _ = build_plan(args, "vit_gcn", args.num_frames)
 
     ds = VideoFacesDataset(args.data_dir, num_frames=args.num_frames,
                            recursive=args.recursive)
@@ -63,8 +68,13 @@ def main(argv=None) -> int:
         model_config={"model_type": "vit_gcn", "vit_variant": variant,
                       "backbone": flavor},
     )
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
-    trainer = Trainer(model, train_ds, val_ds, cfg, mesh=mesh)
+    if plan is not None:
+        print(f"parallelism plan: {plan.description} over "
+              f"{plan.mesh.devices.size} devices")
+        trainer = Trainer(model, train_ds, val_ds, cfg, plan=plan)
+    else:
+        mesh = make_mesh() if len(jax.devices()) > 1 else None
+        trainer = Trainer(model, train_ds, val_ds, cfg, mesh=mesh)
     state = None
     if args.resume:
         state = trainer.resume(args.resume)

@@ -96,6 +96,67 @@ class LRFinder:
             w.writerow(["lr", "smoothed_loss"])
             w.writerows(self.history)
 
+    def save_plot(self, path: str) -> None:
+        """Loss-vs-LR curve as a standalone SVG (≙ the reference's
+        matplotlib plot, ``src/lr_finder.py:96-117`` — matplotlib isn't in
+        this image, and a hand-rolled SVG needs no figure backend).
+        Log-x, smoothed loss, suggested-LR markers."""
+        if len(self.history) < 2:
+            return
+        W, H, pad = 640, 400, 56
+        lrs = np.array([h[0] for h in self.history])
+        losses = np.array([h[1] for h in self.history])
+        x0, x1 = math.log10(lrs[0]), math.log10(lrs[-1])
+        y0, y1 = float(losses.min()), float(losses.max())
+        yr = (y1 - y0) or 1.0
+
+        def X(lr):
+            return pad + (math.log10(lr) - x0) / max(x1 - x0, 1e-9) * (W - 2 * pad)
+
+        def Y(v):
+            return H - pad - (v - y0) / yr * (H - 2 * pad)
+
+        pts = " ".join(f"{X(lr):.1f},{Y(v):.1f}" for lr, v in self.history)
+        rep = self.report()
+        parts = [
+            f'<svg xmlns="http://www.w3.org/2000/svg" width="{W}" height="{H}" '
+            f'viewBox="0 0 {W} {H}" font-family="sans-serif" font-size="12">',
+            f'<rect width="{W}" height="{H}" fill="white"/>',
+            f'<text x="{W / 2}" y="20" text-anchor="middle" font-size="14">'
+            f'LR range test (smoothed loss)</text>',
+        ]
+        # axes + log-decade gridlines
+        parts.append(f'<line x1="{pad}" y1="{H - pad}" x2="{W - pad}" '
+                     f'y2="{H - pad}" stroke="#444"/>')
+        parts.append(f'<line x1="{pad}" y1="{pad}" x2="{pad}" '
+                     f'y2="{H - pad}" stroke="#444"/>')
+        for d in range(math.ceil(x0), math.floor(x1) + 1):
+            x = X(10.0 ** d)
+            parts.append(f'<line x1="{x:.1f}" y1="{pad}" x2="{x:.1f}" '
+                         f'y2="{H - pad}" stroke="#ddd"/>')
+            parts.append(f'<text x="{x:.1f}" y="{H - pad + 16}" '
+                         f'text-anchor="middle">1e{d}</text>')
+        for frac in (0.0, 0.5, 1.0):
+            v = y0 + frac * yr
+            parts.append(f'<text x="{pad - 6}" y="{Y(v) + 4:.1f}" '
+                         f'text-anchor="end">{v:.3g}</text>')
+        for lr, color, label in ((rep["best_lr"], "#2a7", "steepest"),
+                                 (rep["min_loss_lr"] * 10.0, "#d55",
+                                  "min loss")):
+            if lrs[0] <= lr <= lrs[-1]:
+                parts.append(f'<line x1="{X(lr):.1f}" y1="{pad}" '
+                             f'x2="{X(lr):.1f}" y2="{H - pad}" '
+                             f'stroke="{color}" stroke-dasharray="4 3"/>')
+                parts.append(f'<text x="{X(lr) + 4:.1f}" y="{pad + 14}" '
+                             f'fill="{color}">{label} {lr:.1e}</text>')
+        parts.append(f'<polyline points="{pts}" fill="none" stroke="#36c" '
+                     f'stroke-width="1.5"/>')
+        parts.append(f'<text x="{W / 2}" y="{H - 12}" text-anchor="middle">'
+                     f'learning rate (log)</text>')
+        parts.append("</svg>")
+        with open(path, "w") as f:
+            f.write("\n".join(parts))
+
 
 def main(argv=None) -> int:
     from deepfake_video_detection_tpu.data.dataset import VideoFacesDataset
@@ -113,6 +174,8 @@ def main(argv=None) -> int:
     ap.add_argument("--start_lr", type=float, default=1e-4)
     ap.add_argument("--end_lr", type=float, default=10.0)
     ap.add_argument("--out_csv", default="lr_finder.csv")
+    ap.add_argument("--out_plot", default=None,
+                    help="loss-vs-LR SVG (default: out_csv with .svg)")
     args = ap.parse_args(argv)
 
     ds = VideoFacesDataset(args.data_dir, num_frames=args.num_frames)
@@ -129,9 +192,11 @@ def main(argv=None) -> int:
                       args.num_steps)
     out = finder.find(variables, batches())
     finder.save_csv(args.out_csv)
+    plot = args.out_plot or (args.out_csv.rsplit(".", 1)[0] + ".svg")
+    finder.save_plot(plot)
     print(f"suggested lr (steepest descent): {out['best_lr']:.2e}")
     print(f"suggested lr (min loss / 10):    {out['min_loss_lr']:.2e}")
-    print(f"curve written to {args.out_csv}")
+    print(f"curve written to {args.out_csv}; plot to {plot}")
     return 0
 
 

@@ -108,12 +108,30 @@ class Trainer:
         config: TrainerConfig,
         mesh: Optional[Any] = None,
         fake_index: int = 1,
+        plan: Optional[Any] = None,
     ):
+        """``plan`` (``parallel.strategy.ParallelPlan``): a non-DP sharding
+        strategy — TP/SP/PP/EP meshes with per-leaf param placements and
+        per-leaf batch specs. With a plan, steps are compiled WITHOUT fixed
+        ``in_shardings`` (mesh=None) so the placements set here propagate
+        through XLA — the exact wiring ``__graft_entry__.dryrun_multichip``
+        validates. ``mesh`` alone keeps the pure data-parallel round-2
+        behavior."""
         self.model = model
         self.train_ds = train_ds
         self.val_ds = val_ds
         self.cfg = config
+        self.plan = plan
+        if plan is not None:
+            mesh = plan.mesh
         self.mesh = mesh
+        self._sharded_model = plan is not None and not plan.pure_dp
+        self._batch_specs = plan.batch_spec if self._sharded_model else None
+        if self._sharded_model and config.steps_per_call > 1:
+            raise ValueError(
+                "steps_per_call > 1 (scan-of-steps) currently supports the "
+                "pure data-parallel path only — drop --steps_per_call or "
+                "the model-parallel flags")
         self.fake_index = fake_index
         self.history: List[Dict[str, Any]] = []
         self.best_value: Optional[float] = None
@@ -159,9 +177,12 @@ class Trainer:
             if config.early_stopping_patience else None
 
         # ---- compiled steps ----
-        self.train_step = make_train_step(model, self.tx, self.loss_fn, mesh,
-                                          remat=config.remat)
-        self.eval_step = make_eval_step(model, mesh)
+        # model-parallel plans: compile with mesh=None — the param/batch
+        # placements (init_state / _shard) propagate through the program
+        step_mesh = None if self._sharded_model else mesh
+        self.train_step = make_train_step(model, self.tx, self.loss_fn,
+                                          step_mesh, remat=config.remat)
+        self.eval_step = make_eval_step(model, step_mesh)
 
         # ---- adjacency (graph models): fixed chain graph over T frames ----
         self._adjacency = None
@@ -215,10 +236,21 @@ class Trainer:
     def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
         variables = self.model.init(rng)
+        return TrainState.create(self._place(variables), self.tx)
+
+    def _place(self, variables):
+        """Put a host variables tree on the mesh: plan-ruled shardings for
+        model-parallel runs (TP head columns, PP stage-split blocks, ...),
+        plain replication for DP."""
+        if self._sharded_model:
+            from deepfake_video_detection_tpu.parallel.strategy import (
+                place_variables)
+            return place_variables(variables, self.mesh,
+                                   self.plan.param_spec_fn)
         if self.mesh is not None:
             from deepfake_video_detection_tpu.parallel.mesh import replicate
-            variables = replicate(variables, self.mesh)
-        return TrainState.create(variables, self.tx)
+            return replicate(variables, self.mesh)
+        return variables
 
     def _load_variables(self, path: str, template: TrainState):
         """Native ``.npz`` loads directly; reference ``.pt`` checkpoints go
@@ -244,6 +276,7 @@ class Trainer:
         (≙ ``src/train.py:349-387``; accepts native or torch layouts)."""
         state = state if state is not None else self.init_state()
         variables, meta = self._load_variables(path, state)
+        variables = self._place(variables)
         opt_state = restore_opt_state(state.opt_state, meta)
         self.start_epoch = int(meta.get("epoch", -1)) + 1
         self.best_value = meta.get("best_value")
@@ -254,6 +287,7 @@ class Trainer:
         """Params-only init (≙ ``--init-from``, ``src/train_improved.py:570-577``)."""
         state = state if state is not None else self.init_state()
         variables, _ = self._load_variables(path, state)
+        variables = self._place(variables)
         return TrainState(variables["params"], variables["state"],
                           state.opt_state, state.step)
 
@@ -268,7 +302,9 @@ class Trainer:
             idx = getattr(ds, "indices", list(range(len(ds))))[:16]
             ds = SubsetDataset(base, idx)
         mult = 1
-        if self.mesh is not None:
+        if self.plan is not None:
+            mult = int(self.plan.batch_multiple)
+        elif self.mesh is not None:
             mult = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names
                                 if a == "data"]))
         loader = Loader(ds, self.cfg.batch_size,
@@ -298,7 +334,8 @@ class Trainer:
         tot_loss, tot_correct, tot_count = 0.0, 0, 0
         t0 = time.time()
         it = (self._attach_adjacency(b) for b in loader)
-        for batch in prefetch_to_device(it, self.mesh):
+        for batch in prefetch_to_device(it, self.mesh,
+                                        batch_specs=self._batch_specs):
             rng, k_aug, k_drop = jax.random.split(rng, 3)
             batch.pop("paths", None)
             batch = self._prep_train(batch, k_aug)
@@ -431,7 +468,8 @@ class Trainer:
         probs_all, labels_all, paths_all = [], [], []
         losses = []
         it = (self._attach_adjacency(b) for b in loader)
-        for batch in prefetch_to_device(it, self.mesh):
+        for batch in prefetch_to_device(it, self.mesh,
+                                        batch_specs=self._batch_specs):
             paths = batch.pop("paths", [])
             valid = np.asarray(batch.pop("valid"))
             batch = self._prep_eval(batch)

@@ -244,6 +244,19 @@ def test_lr_finder_on_toy_problem():
     assert 1e-4 <= out["best_lr"] <= 10.0
     assert len(finder.history) > 10
 
+    # loss-vs-LR plot artifact (≙ src/lr_finder.py:96-117)
+    import os
+    import tempfile
+    import xml.etree.ElementTree as ET
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "lr.svg")
+        finder.save_plot(p)
+        root = ET.parse(p).getroot()
+        assert root.tag.endswith("svg")
+        body = open(p).read()
+        assert "polyline" in body and "steepest" in body
+
 
 def test_validate_improvements_demo(capsys):
     from deepfake_video_detection_tpu.evals.validate_improvements import main
