@@ -58,8 +58,23 @@ def _get_lib():
             ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int]
         lib.haar_scan.restype = ctypes.c_int
+        lib.haar_prepare.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int]
+        lib.haar_prepare.restype = None
         _lib = lib
         return _lib
+
+
+def prepare_gray(rgb: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Fused BT.601 gray + bilinear downscale in C (GIL-free)."""
+    lib = _get_lib()
+    rgb = np.ascontiguousarray(rgb, np.uint8)
+    H, W = rgb.shape[0], rgb.shape[1]
+    out = np.empty((out_h, out_w), np.float32)
+    lib.haar_prepare(_ptr(rgb, ctypes.c_uint8), H, W,
+                     _ptr(out, ctypes.c_float), out_h, out_w)
+    return out
 
 
 def _ptr(a: np.ndarray, ctype):

@@ -57,6 +57,20 @@ struct Stump {
 
 extern "C" {
 
+// RGB uint8 (H,W,3) → BT.601 gray float32 downscaled to (oh,ow) — the
+// full-res prepare step of detect_faces (data/haar.py). Fusing gray+resize
+// here keeps the per-frame host cost of the haar serving path ~25 ms at
+// 1080p instead of ~60-90 ms through numpy.
+void haar_prepare(const uint8_t* rgb, int H, int W, float* out, int oh,
+                  int ow) {
+  // gray at full res (single pass), then bilinear down
+  std::vector<float> gray((size_t)H * W);
+  const uint8_t* p = rgb;
+  for (size_t i = 0; i < (size_t)H * W; ++i, p += 3)
+    gray[i] = 0.299f * p[0] + 0.587f * p[1] + 0.114f * p[2];
+  resize_bilinear(gray.data(), H, W, out, oh, ow);
+}
+
 // Scan the full pyramid of one grayscale image. Appends raw surviving
 // windows as (x, y, side) triples in ORIGINAL image coordinates (float).
 // Returns the number of boxes written (clamped to max_out), or -1 on error.

@@ -107,18 +107,34 @@ def main() -> None:
          "--port", str(port)],
         env=env, cwd=REPO, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True)
+    # drain stdout continuously: wsgiref logs every request, and an
+    # unread 64K pipe would eventually block the server
+    server_log: list = []
+
+    def _drain():
+        for line in server.stdout:
+            server_log.append(line)
+
+    threading.Thread(target=_drain, daemon=True).start()
+
     url = f"http://localhost:{port}"
     try:
-        deadline = time.time() + 600
+        deadline = time.time() + 1500   # model load through a slow relay
+        up = False                      # window can take many minutes
         while time.time() < deadline:
             try:
                 with urllib.request.urlopen(url + "/health", timeout=5):
+                    up = True
                     break
             except Exception:
                 if server.poll() is not None:
-                    out = server.stdout.read()
-                    raise RuntimeError(f"server died:\n{out[-3000:]}")
+                    raise RuntimeError(
+                        "server died:\n" + "".join(server_log)[-3000:])
                 time.sleep(1.0)
+        if not up:
+            raise RuntimeError(
+                "server did not come up in time:\n"
+                + "".join(server_log)[-3000:])
         # one warm request compiles the serving forward
         t0 = time.time()
         r = _post_clip(url + "/api/predict", clips[0], timeout=900)
