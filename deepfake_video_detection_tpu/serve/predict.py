@@ -197,6 +197,16 @@ class Predictor:
             batch_sizes = [n_dp]
             if windows > 1:
                 batch_sizes.append(-(-windows // n_dp) * n_dp)
+            if getattr(self, "_batcher", None) is not None:
+                # pre-compile every power-of-two micro-batch bucket: under
+                # concurrent load the batcher pads to these shapes, and a
+                # first-hit compile mid-traffic stalls every waiting
+                # request (measured: an un-warmed bucket collapsed the
+                # 8-client HTTP benchmark to 2.5 clips/s)
+                b = n_dp
+                while b < self._batcher.max_batch:
+                    b *= 2
+                    batch_sizes.append(b)
             for b in batch_sizes:
                 if yuv:
                     packed = jnp.zeros((b, T, size * size * 3 // 2), jnp.uint8)

@@ -44,6 +44,15 @@ td, th { padding: .45rem .6rem; border-bottom: 1px solid #232d4a;
          text-align: left; }
 .muted { color: #8b93a7; font-size: .9rem; }
 pre { white-space: pre-wrap; }
+.result-head { display: flex; align-items: center; gap: 1rem; }
+.gauge { flex: none; }
+.probbar { display: flex; height: 1.25rem; border-radius: 6px;
+           overflow: hidden; font-size: .72rem; line-height: 1.25rem;
+           max-width: 420px; }
+.pb-real { background: #2c6e49; color: #d6f5e3; padding-left: .4rem;
+           white-space: nowrap; overflow: hidden; }
+.pb-fake { background: #9e2b25; color: #ffd9d6; padding-left: .4rem;
+           white-space: nowrap; overflow: hidden; }
 .chat-log { max-height: 280px; overflow-y: auto; }
 .chat-msg-user { color: #7aa2ff; }
 .chat-msg-bot { color: #d3d7e3; }
@@ -194,6 +203,62 @@ def _windows_strip(w) -> str:
             f"window {w.get('deciding_window')}):</p>{svg}")
 
 
+def _confidence_gauge(conf, prediction: str) -> str:
+    """SVG donut gauge for the decision confidence (≙ the reference
+    result page's visual verdict chrome, ``templates/result.html``)."""
+    if not isinstance(conf, float):
+        return ""
+    pct = max(0.0, min(1.0, conf))
+    r, c = 26, 32
+    circ = 2 * 3.14159 * r
+    color = {"Deepfake": "#d9534f", "Real": "#3c9a5f"}.get(prediction,
+                                                           "#d0a537")
+    return (
+        f'<svg width="64" height="64" viewBox="0 0 64 64" role="img" '
+        f'aria-label="confidence {pct * 100:.0f}%" class="gauge">'
+        f'<circle cx="{c}" cy="{c}" r="{r}" fill="none" stroke="#8883" '
+        f'stroke-width="7"/>'
+        f'<circle cx="{c}" cy="{c}" r="{r}" fill="none" stroke="{color}" '
+        f'stroke-width="7" stroke-linecap="round" '
+        f'stroke-dasharray="{circ * pct:.1f} {circ:.1f}" '
+        f'transform="rotate(-90 {c} {c})"/>'
+        f'<text x="{c}" y="{c + 5}" text-anchor="middle" font-size="14" '
+        f'fill="currentColor">{pct * 100:.0f}%</text></svg>')
+
+
+def _prob_bar(result: Dict[str, Any]) -> str:
+    """Real-vs-fake probability split bar."""
+    pf = result.get("prob_fake")
+    if not isinstance(pf, float):
+        return ""
+    pr = 1.0 - pf
+    return (
+        '<div class="probbar" title="real vs fake probability">'
+        f'<span class="pb-real" style="width:{pr * 100:.1f}%">'
+        f'real {pr * 100:.0f}%</span>'
+        f'<span class="pb-fake" style="width:{pf * 100:.1f}%">'
+        f'fake {pf * 100:.0f}%</span></div>')
+
+
+# typewriter effect for the justification (≙ ui_results.html's typed
+# animation, templates/ui_results.html:40-59)
+_TYPED_JS = """
+<script>
+document.querySelectorAll('details.typed').forEach(function (d) {
+  d.addEventListener('toggle', function () {
+    if (!d.open || d.dataset.typed) return;
+    d.dataset.typed = '1';
+    var pre = d.querySelector('pre'), full = pre.textContent, i = 0;
+    pre.textContent = '';
+    (function tick() {
+      pre.textContent = full.slice(0, i += 3);
+      if (i < full.length) setTimeout(tick, 12);
+    })();
+  });
+});
+</script>"""
+
+
 def results_page(items: List[Dict[str, Any]], user: Optional[str]) -> str:
     cards = []
     for item in items:
@@ -211,19 +276,23 @@ def results_page(items: List[Dict[str, Any]], user: Optional[str]) -> str:
         just = html.escape(item.get("justification", ""))
         msg = html.escape(item.get("message", ""))
         windows_html = _windows_strip(result.get("windows"))
+        gauge = _confidence_gauge(conf, result.get("prediction", ""))
         cards.append(f"""
 <div class="card"><h2>{fname}</h2>
+<div class="result-head">{gauge}<div>
 <p>Verdict: {_verdict_span(result)} &nbsp; <span class="muted">confidence
 {conf_s} · fake prob {pf_s} · faces {result.get("num_faces", "–")}</span></p>
+{_prob_bar(result)}</div></div>
 {windows_html}
 <p>{msg}</p>
-<details><summary>Full 200-word report</summary><pre id="just">{just}</pre></details>
+<details class="typed"><summary>Full 200-word report</summary><pre id="just">{just}</pre></details>
 <details><summary>Raw result</summary>
 <pre>{html.escape(json.dumps(result, indent=2, default=str))}</pre></details>
 </div>""")
     body = "".join(cards) or ('<div class="card"><p>No results (the job may '
                               'have expired — please upload again).</p></div>')
     body += '<p><a href="/ui"><button>Analyze more</button></a></p>'
+    body += _TYPED_JS
     return _page("Results", body, user)
 
 

@@ -388,6 +388,16 @@ def test_predictor_warmup_compiles_serving_forward(monkeypatch):
             break
         time.sleep(0.05)
     assert calls and calls[0][1:] == (4, 16, 16, 3), calls
+    # r3: warmup also pre-compiles the power-of-two micro-batch buckets —
+    # wait for the thread to go quiet before testing the disabled path
+    stable = 0
+    while stable < 4:
+        n = len(calls)
+        time.sleep(0.1)
+        stable = stable + 1 if len(calls) == n else 0
+    batch_sizes = [c[0] for c in calls]
+    assert batch_sizes == sorted(batch_sizes), calls
+    assert batch_sizes[-1] == 16, calls  # largest batcher bucket warmed
 
     calls.clear()
     monkeypatch.setenv("SERVE_WARMUP", "0")

@@ -30,6 +30,7 @@ import sys
 import threading
 import time
 import urllib.request
+from concurrent.futures import ThreadPoolExecutor as _fut_pool
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -144,6 +145,12 @@ def main() -> None:
 
         results = {}
         for level in [int(x) for x in args.levels.split(",") if x.strip()]:
+            # pre-warm this concurrency's micro-batch bucket (server-side
+            # warmup also compiles them; this guards against a cold cache)
+            with _fut_pool(level) as pool:
+                list(pool.map(lambda p: _post_clip(url + "/api/predict", p,
+                                                   timeout=900),
+                              clips[:level]))
             done = [0] * level
             stop = time.time() + args.seconds
             errs: list = []
