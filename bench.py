@@ -58,31 +58,52 @@ def _ensure_clips() -> list:
     return paths
 
 
+# Forward GMACs per 224px frame, from the architecture papers (Tan & Le
+# 2019; He et al. 2015; Dosovitskiy et al. 2020 incl. patch embed). Used
+# for the standard model-analytic MFU: x2 FLOPs/MAC, x3 for fwd+bwd.
+_BACKBONE_GMACS = {
+    "efficientnet_b0": 0.39,   # depthwise-separable: VPU-bound on TPU
+    "resnet18": 1.82,
+    "resnet34": 3.67,
+    "resnet50": 4.11,          # dense 3x3/1x1 convs: MXU-friendly
+    "vit_small_patch16_224": 4.61,
+    "vit_base_patch16_224": 17.58,  # pure matmuls: the MXU-native family
+}
+
+
 def bench_train(batch: int = 16, t: int = 8, steps_per_call: int = 8,
-                measure_steps: int = 32) -> None:
+                measure_steps: int = 32,
+                backbone: str = "efficientnet_b0") -> None:
     """Training throughput + MFU on the real chip (VERDICT r2 item 3).
 
-    Flagship B0 through the REAL trainer step (``train.steps.make_train_step``
-    wrapped in the scan-of-steps compiler — forward + loss + backward +
-    AdamW update, bf16 activations), batch = ``batch`` clips x ``t`` frames
-    of 224 px, synthetic device-resident data (host input pipeline
-    throughput is the e2e bench's job; this measures the chip).
+    ``backbone`` picks the detector trunk through the REAL trainer step
+    (``train.steps.make_train_step`` wrapped in the scan-of-steps compiler —
+    forward + loss + backward + AdamW update, bf16 activations), batch =
+    ``batch`` clips x ``t`` frames of 224 px, synthetic device-resident data
+    (host input pipeline throughput is the e2e bench's job; this measures
+    the chip). The flagship B0 is the production default but is a
+    depthwise CNN — VPU-bound, so its MFU (an MXU-utilization ratio) is
+    structurally low; ``--model vit_base_patch16_224`` / ``resnet50``
+    demonstrate the MXU-bound regime (docs/performance.md).
 
-    FLOPs come from XLA's own cost analysis of the compiled program —
-    not a hand model — so MFU = measured_flops/s / 394 TFLOP/s (v5e bf16
-    peak). Prints ONE JSON line.
+    MFU uses the standard model-analytic FLOP count (table above) against
+    the 394 TFLOP/s v5e bf16 peak; XLA's own cost analysis of the compiled
+    program is reported alongside for transparency. Prints ONE JSON line.
     """
     import functools
     import jax
     import jax.numpy as jnp
 
     from deepfake_video_detection_tpu.data.normalize import imagenet_normalize
+    from deepfake_video_detection_tpu.models.backbone_detector import (
+        BackboneDetector,
+    )
     from deepfake_video_detection_tpu.train import losses, optim
     from deepfake_video_detection_tpu.train.state import TrainState
     from deepfake_video_detection_tpu.train.steps import make_multi_step
-    from __graft_entry__ import _flagship
 
-    model = _flagship()                       # bf16 compute, f32 params
+    # bf16 compute, f32 params — same recipe as the serving flagship
+    model = BackboneDetector(backbone, compute_dtype=jnp.bfloat16)
     variables = jax.device_put(model.init(jax.random.PRNGKey(0)))
     tx = optim.build_optimizer("adamw", 1e-3, grad_clip=1.0)
     loss_fn = functools.partial(losses.cross_entropy_loss)
@@ -126,9 +147,9 @@ def bench_train(batch: int = 16, t: int = 8, steps_per_call: int = 8,
     clips_per_sec = steps_per_sec * batch
     frames_per_sec = clips_per_sec * t
     peak = 394e12                             # v5e bf16 peak FLOP/s
-    # standard (model-analytic) MFU: B0 = 0.39 GMACs per 224px frame
-    # forward (Tan & Le 2019), x2 FLOPs/MAC, x3 for fwd+bwd
-    model_flops_per_frame = 0.39e9 * 2 * 3
+    # standard (model-analytic) MFU: paper GMACs per 224px frame forward,
+    # x2 FLOPs/MAC, x3 for fwd+bwd
+    model_flops_per_frame = _BACKBONE_GMACS[backbone] * 1e9 * 2 * 3
     mfu = frames_per_sec * model_flops_per_frame / peak
     # XLA's own count of the compiled program (fused/rewritten ops — an
     # under-estimate on TPU backends; reported for transparency)
@@ -136,8 +157,8 @@ def bench_train(batch: int = 16, t: int = 8, steps_per_call: int = 8,
     print(json.dumps({
         "metric": "train_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),
-        "unit": (f"clips/s B0 train fwd+bwd+adamw, B={batch} T={t} 224px "
-                 f"bf16, scan-of-steps k={k}; steps/s={steps_per_sec:.2f}; "
+        "unit": (f"clips/s {backbone} train fwd+bwd+adamw, B={batch} T={t} "
+                 f"224px bf16, scan-of-steps k={k}; steps/s={steps_per_sec:.2f}; "
                  f"frames/s={frames_per_sec:.0f}"
                  + (f"; XLA flops/step={flops_per_call / k:.3e}"
                     if flops_per_call else "")),
@@ -331,8 +352,12 @@ if __name__ == "__main__":
     import sys
 
     if "--train" in sys.argv:
+        _model = (sys.argv[sys.argv.index("--model") + 1]
+                  if "--model" in sys.argv
+                  else os.environ.get("BENCH_TRAIN_MODEL", "efficientnet_b0"))
         bench_train(batch=int(os.environ.get("BENCH_TRAIN_BATCH", 16)),
-                    steps_per_call=int(os.environ.get("BENCH_TRAIN_K", 8)))
+                    steps_per_call=int(os.environ.get("BENCH_TRAIN_K", 8)),
+                    backbone=_model)
     elif "--breakdown" in sys.argv:
         bench_breakdown()
     else:

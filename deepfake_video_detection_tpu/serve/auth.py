@@ -71,6 +71,28 @@ class AuthStore:
         self.uploads_path = os.path.join(data_dir, "uploads.json")
         self.secrets_path = os.path.join(data_dir, "secrets.json")
         self.sessions: Dict[str, str] = {}  # token → email
+        self.fb_uids: Dict[str, str] = {}   # email → Firebase localId
+        # injectable for tests: (urllib.request.Request, timeout) → response
+        self._http = urllib.request.urlopen
+
+    # -- firebase RTDB upload mirror (``app.py:815-831, 2880-2918``) ---------
+
+    def _rtdb_base(self) -> str:
+        return env_str("FIREBASE_DATABASE_URL").rstrip("/")
+
+    def _rtdb_request(self, method: str, path: str,
+                      data=None) -> Optional[Any]:
+        """GET/PUT ``<base>/<path>.json`` — the RTDB REST convention the
+        reference uses (``_rtdb_get/_rtdb_put``). Returns parsed JSON for
+        GET, None for writes. Raises on HTTP errors like the reference."""
+        url = f"{self._rtdb_base()}/{path}.json"
+        body = None if data is None else json.dumps(data).encode()
+        req = urllib.request.Request(
+            url, data=body, method=method,
+            headers={"Content-Type": "application/json"})
+        with self._http(req, timeout=15) as r:
+            raw = r.read()
+        return json.loads(raw.decode()) if method == "GET" and raw else None
 
     # -- firebase REST (gated) ------------------------------------------------
 
@@ -107,12 +129,16 @@ class AuthStore:
                     return None
                 users[email] = {"password": _hash_password(password)}
                 _write_json(self.users_path, users)
+        elif fb.get("localId"):
+            self.fb_uids[email] = fb["localId"]
         return self._new_session(email)
 
     def login(self, email: str, password: str) -> Optional[str]:
         email = email.strip().lower()
         fb = self._firebase_request("signInWithPassword", email, password)
         if fb is not None and "idToken" in fb:
+            if fb.get("localId"):
+                self.fb_uids[email] = fb["localId"]
             return self._new_session(email)
         with _LOCK:
             users = _read_json(self.users_path, {})
@@ -141,13 +167,34 @@ class AuthStore:
         if token:
             self.sessions.pop(token, None)
 
-    # -- uploads DB (local stand-in for Firebase RTDB) -----------------------
+    # -- uploads DB: Firebase RTDB when configured + logged in via Firebase,
+    # local JSON otherwise — mirrors ``_load/_save_uploads_db``
+    # (``app.py:2880-2918``: RTDB layout ``uploads/<uid>/<id>``, every
+    # failure falls back to the local file).
 
     def list_uploads(self, email: str) -> List[Dict[str, Any]]:
+        uid = self.fb_uids.get(email)
+        if uid and self._rtdb_base():
+            try:
+                data = self._rtdb_request("GET", f"uploads/{uid}")
+                if isinstance(data, dict):
+                    return list(data.values())
+                if data is None:
+                    return []
+            except Exception:
+                pass  # fall back to local, like the reference
         db = _read_json(self.uploads_path, {})
         return db.get(email, [])
 
     def add_upload(self, email: str, record: Dict[str, Any]) -> None:
+        uid = self.fb_uids.get(email)
+        if uid and self._rtdb_base() and record.get("id") is not None:
+            try:
+                self._rtdb_request("PUT", f"uploads/{uid}/{record['id']}",
+                                   record)
+                return
+            except Exception:
+                pass
         with _LOCK:
             db = _read_json(self.uploads_path, {})
             db.setdefault(email, []).append(record)

@@ -64,17 +64,55 @@ pre { white-space: pre-wrap; }
 """
 
 
+# canvas starfield backdrop ≙ the reference's ``static/js/space.js``
+# (155 LoC drifting-stars canvas behind the chrome pages); dependency-free
+# and honors prefers-reduced-motion.
+_STARFIELD = """
+<canvas id="space" style="position:fixed;inset:0;z-index:-1"></canvas>
+<script>
+(function () {
+  const c = document.getElementById('space'), x = c.getContext('2d');
+  let stars = [];
+  function seed() {
+    c.width = innerWidth; c.height = innerHeight;
+    stars = Array.from({length: Math.min(180, c.width >> 3)}, () => ({
+      x: Math.random() * c.width, y: Math.random() * c.height,
+      z: 0.2 + Math.random() * 0.8, r: 0.4 + Math.random() * 1.3}));
+  }
+  function tick() {
+    x.clearRect(0, 0, c.width, c.height);
+    for (const s of stars) {
+      s.y += s.z * 0.25;
+      if (s.y > c.height) { s.y = 0; s.x = Math.random() * c.width; }
+      x.globalAlpha = 0.35 + 0.5 * s.z;
+      x.fillStyle = '#9db4ff';
+      x.beginPath(); x.arc(s.x, s.y, s.r, 0, 7); x.fill();
+    }
+    requestAnimationFrame(tick);
+  }
+  function still() {  // one static frame for prefers-reduced-motion
+    x.globalAlpha = 0.6; x.fillStyle = '#9db4ff';
+    for (const s of stars) { x.beginPath(); x.arc(s.x, s.y, s.r, 0, 7); x.fill(); }
+  }
+  addEventListener('resize', seed);
+  seed();
+  matchMedia('(prefers-reduced-motion: reduce)').matches ? still() : tick();
+})();
+</script>"""
+
+
 def _page(title: str, body: str, user: Optional[str] = None,
-          extra_head: str = "") -> str:
+          extra_head: str = "", starfield: bool = False) -> str:
     user_nav = (f'<span class="muted">{html.escape(user)}</span> '
                 f'<a href="/logout">Logout</a>' if user else
                 '<a href="/login">Login</a> <a href="/signup">Sign up</a>')
+    backdrop = _STARFIELD if starfield else ""
     return f"""<!doctype html>
 <html lang="en"><head><meta charset="utf-8">
 <meta name="viewport" content="width=device-width, initial-scale=1">
 <title>{html.escape(title)} · Deepfake Video Detection</title>
 <style>{_STYLE}</style>{extra_head}</head>
-<body>
+<body>{backdrop}
 <nav><a class="brand" href="/">Deepfake Detector</a>
 <a href="/ui">Analyze</a><a href="/dashboard">Dashboard</a>
 <a href="/about">About</a>{user_nav}</nav>
@@ -88,7 +126,8 @@ def index_page(user: Optional[str]) -> str:
 <p>TPU-accelerated detector: upload a video and get a real/fake verdict with
 calibrated confidence, frame-level attention scores, and a plain-English
 explanation.</p>
-<p><a href="/ui"><button>Analyze a video</button></a></p></div>""", user)
+<p><a href="/ui"><button>Analyze a video</button></a></p></div>""", user,
+                 starfield=True)
 
 
 def about_page(user: Optional[str]) -> str:
@@ -98,7 +137,7 @@ def about_page(user: Optional[str]) -> str:
 runs them through a convolutional backbone compiled for TPUs. A temporal
 attention head fuses per-frame evidence into a single verdict, thresholded by
 a calibration sweep from training. An agent layer adds uncertainty-aware
-alerts, abstention, and monitoring.</p></div>""", user)
+alerts, abstention, and monitoring.</p></div>""", user, starfield=True)
 
 
 def ui_page(user: Optional[str]) -> str:
@@ -305,7 +344,7 @@ def login_page(user: Optional[str], error: str = "") -> str:
 <p><input type="password" name="password" placeholder="password" required></p>
 <p><button type="submit">Login</button>
 <a href="/signup" class="muted">need an account?</a></p>
-</form></div>""", user)
+</form></div>""", user, starfield=True)
 
 
 def signup_page(user: Optional[str], error: str = "") -> str:
@@ -316,7 +355,7 @@ def signup_page(user: Optional[str], error: str = "") -> str:
 <p><input type="email" name="email" placeholder="email" required></p>
 <p><input type="password" name="password" placeholder="password" required></p>
 <p><button type="submit">Create account</button></p>
-</form></div>""", user)
+</form></div>""", user, starfield=True)
 
 
 def dashboard_page(user: Optional[str], uploads: List[Dict[str, Any]]) -> str:

@@ -102,3 +102,56 @@ def test_orbax_roundtrip(tmp_path):
     out = load_orbax(path)
     np.testing.assert_array_equal(out["variables"]["params"]["w"],
                                   variables["params"]["w"])
+
+
+def test_rtdb_upload_mirror(tmp_path, monkeypatch):
+    """Uploads mirror to Firebase RTDB (`uploads/<uid>/<id>`) when
+    FIREBASE_DATABASE_URL is set and the user logged in via Firebase,
+    with per-call fallback to the local JSON db — the reference's
+    `_load/_save_uploads_db` semantics (app.py:2880-2918)."""
+    import contextlib
+    import io
+    import json as _json
+
+    from deepfake_video_detection_tpu.serve.auth import AuthStore
+
+    monkeypatch.setenv("FIREBASE_DATABASE_URL", "https://rtdb.example/")
+    store = AuthStore(data_dir=str(tmp_path))
+    store.fb_uids["u@x.io"] = "uid123"
+
+    calls = []
+    remote = {}
+
+    def fake_http(req, timeout=None):
+        calls.append((req.get_method(), req.full_url))
+        if req.get_method() == "PUT":
+            key = req.full_url.rsplit("/", 1)[1][:-len(".json")]
+            remote[key] = _json.loads(req.data.decode())
+            return contextlib.closing(io.BytesIO(b""))
+        return contextlib.closing(io.BytesIO(_json.dumps(remote).encode()))
+
+    store._http = fake_http
+
+    rec = {"id": "abc", "filename": "v.mp4", "verdict": "Real"}
+    store.add_upload("u@x.io", rec)
+    assert calls[0] == ("PUT", "https://rtdb.example/uploads/uid123/abc.json")
+    assert not (tmp_path / "uploads.json").exists()  # remote-only write
+
+    got = store.list_uploads("u@x.io")
+    assert got == [rec]
+    assert calls[-1][0] == "GET"
+
+    # RTDB failure → local fallback, like the reference
+    def broken(req, timeout=None):
+        raise OSError("no egress")
+
+    store._http = broken
+    store.add_upload("u@x.io", {"id": "d2", "filename": "w.mp4"})
+    assert store.list_uploads("u@x.io") == [{"id": "d2", "filename": "w.mp4"}]
+
+    # no Firebase uid (local-fallback account) → purely local, no HTTP
+    store._http = fake_http
+    n_calls = len(calls)
+    store.add_upload("local@x.io", {"id": "L1"})
+    assert store.list_uploads("local@x.io") == [{"id": "L1"}]
+    assert len(calls) == n_calls

@@ -102,7 +102,7 @@ def main() -> None:
         "SERVE_MICROBATCH": "1",
     })
     if args.batch_window_ms is not None:
-        env["SERVE_BATCH_WINDOW_MS"] = str(args.batch_window_ms)
+        env["SERVE_MICROBATCH_WAIT_MS"] = str(args.batch_window_ms)
     server = subprocess.Popen(
         [sys.executable, "-m", "deepfake_video_detection_tpu.serve.app",
          "--port", str(port)],
@@ -154,17 +154,20 @@ def main() -> None:
             done = [0] * level
             stop = time.time() + args.seconds
             errs: list = []
+            lats: list = []                 # per-request wall seconds
 
             def client(ci: int) -> None:
                 i = ci
                 while time.time() < stop:
                     try:
+                        r0 = time.time()
                         r = _post_clip(url + "/api/predict",
                                        clips[i % len(clips)])
                         if "error" in r:
                             errs.append(r["error"])
                         else:
                             done[ci] += 1
+                            lats.append(time.time() - r0)
                     except Exception as e:  # noqa: BLE001
                         errs.append(str(e))
                     i += level
@@ -179,10 +182,19 @@ def main() -> None:
             dt = time.time() - t0
             total = sum(done)
             results[str(level)] = round(total / dt, 2)
+            if lats:
+                lats.sort()
+                p50 = lats[len(lats) // 2]
+                p95 = lats[min(len(lats) - 1, int(len(lats) * 0.95))]
+                results[f"{level}_latency_ms"] = {
+                    "p50": round(p50 * 1e3), "p95": round(p95 * 1e3)}
             if errs:
                 results[f"{level}_errors"] = len(errs)
             print(f"# {level} clients: {total} clips in {dt:.1f}s "
-                  f"= {total / dt:.2f} clips/s", file=sys.stderr)
+                  f"= {total / dt:.2f} clips/s"
+                  + (f", p50 {results[f'{level}_latency_ms']['p50']} ms / "
+                     f"p95 {results[f'{level}_latency_ms']['p95']} ms"
+                     if lats else ""), file=sys.stderr)
 
         print(json.dumps({
             "metric": "concurrent_serving_clips_per_sec",
