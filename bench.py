@@ -26,7 +26,9 @@ N_CLIPS = 64
 CLIP_FRAMES = 300          # 10 s @ 30 fps
 CLIP_W, CLIP_H = 640, 360  # DFDC-ish aspect after typical downscale
 T = 8                      # face crops per clip (serving MAX_FRAMES default)
-BATCH = 16                 # clips per device step
+# clips per device step: 16 measured best on the 1-core axon host (32 saves
+# dispatches but adds stack/transfer latency per batch; see docs)
+BATCH = int(os.environ.get("BENCH_BATCH", 16))
 
 
 def _ensure_clips() -> list:
@@ -289,7 +291,7 @@ def main() -> None:
     # just thrash), plus a small transfer pool so host→device uploads run
     # CONCURRENTLY through the relay (measured ~2× effective bandwidth vs
     # serial puts) and overlap both decode and compute.
-    decode_workers = 3
+    decode_workers = int(os.environ.get("BENCH_DECODE_WORKERS", 3))
 
     def run_once() -> float:
         import collections
