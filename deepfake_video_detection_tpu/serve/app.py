@@ -70,6 +70,10 @@ logger = logging.getLogger(__name__)
 # ---------------------------------------------------------------------------
 
 
+class PayloadTooLarge(Exception):
+    """Request body exceeds MAX_UPLOAD_MB — mapped to HTTP 413."""
+
+
 class Request:
     def __init__(self, environ: Dict[str, Any]):
         self.environ = environ
@@ -89,12 +93,25 @@ class Request:
     @property
     def body(self) -> bytes:
         if self._body is None:
-            try:
-                length = int(self.environ.get("CONTENT_LENGTH") or 0)
-            except ValueError:
-                length = 0
+            length = self.check_content_length()
             self._body = self.environ["wsgi.input"].read(length) if length else b""
         return self._body
+
+    def check_content_length(self) -> int:
+        """Bound request bodies BEFORE buffering: an attacker-controlled
+        CONTENT_LENGTH must not be able to OOM the serving host (hardening
+        beyond the reference, which buffers unbounded). Called eagerly per
+        request in ``App.__call__`` and again lazily from ``body``."""
+        try:
+            length = int(self.environ.get("CONTENT_LENGTH") or 0)
+        except ValueError:
+            length = 0
+        max_bytes = int(float(os.environ.get("MAX_UPLOAD_MB", 500)) * 1e6)
+        if length > max_bytes:
+            raise PayloadTooLarge(
+                f"request body {length} bytes exceeds "
+                f"MAX_UPLOAD_MB={max_bytes // 10**6}")
+        return length
 
     def json(self) -> Dict[str, Any]:
         try:
@@ -175,7 +192,9 @@ class Response:
 
 _STATUS = {200: "200 OK", 302: "302 Found", 400: "400 Bad Request",
            401: "401 Unauthorized", 404: "404 Not Found",
-           405: "405 Method Not Allowed", 500: "500 Internal Server Error"}
+           405: "405 Method Not Allowed",
+           413: "413 Payload Too Large",
+           500: "500 Internal Server Error"}
 
 
 # ---------------------------------------------------------------------------
@@ -243,7 +262,10 @@ class App:
     def __call__(self, environ, start_response):
         req = Request(environ)
         try:
+            req.check_content_length()
             resp = self._dispatch(req)
+        except PayloadTooLarge as e:
+            resp = Response.json({"error": str(e)}, 413)
         except Exception as e:
             logger.exception("unhandled error")
             resp = Response.json({"error": str(e)}, 500)

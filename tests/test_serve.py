@@ -405,3 +405,44 @@ def test_predictor_warmup_compiles_serving_forward(monkeypatch):
               extractor=FaceExtractor(detector="center", face_size=16))
     time.sleep(0.2)
     assert not calls
+
+
+def test_payload_too_large_and_multipart_fuzz(served, monkeypatch):
+    """Hardening: attacker-controlled CONTENT_LENGTH must 413 before
+    buffering (MAX_UPLOAD_MB), and malformed multipart bodies must be
+    rejected cleanly, never crash the worker."""
+    app, _, _ = served
+
+    monkeypatch.setenv("MAX_UPLOAD_MB", "1")
+    body, ct = multipart("video", "big.avi", b"x" * 16)
+    environ_len = str(2_000_000)  # claims 2 MB with a 1 MB cap
+    import io as _io
+    environ = {"REQUEST_METHOD": "POST", "PATH_INFO": "/api/predict",
+               "QUERY_STRING": "", "CONTENT_LENGTH": environ_len,
+               "CONTENT_TYPE": ct, "wsgi.input": _io.BytesIO(body)}
+    captured = {}
+
+    def sr(status, headers):
+        captured["status"] = int(status.split()[0])
+
+    out = b"".join(app(environ, sr))
+    assert captured["status"] == 413
+    assert b"MAX_UPLOAD_MB" in out
+    monkeypatch.delenv("MAX_UPLOAD_MB")
+
+    # malformed multipart: bad boundary, headerless part, binary garbage,
+    # filename-less file part → 400-class errors or empty-file handling,
+    # never a 500
+    cases = [
+        (b"--wrong\r\ngarbage", "multipart/form-data; boundary=testboundary123"),
+        (b"\xff\xfe\x00\x01" * 64, "multipart/form-data; boundary=zzz"),
+        (b"--b\r\nContent-Disposition: form-data; name=\"video\"\r\n\r\ndata"
+         b"\r\n--b--\r\n", "multipart/form-data; boundary=b"),
+        (b"no body at all", "multipart/form-data"),  # boundary missing
+    ]
+    for raw, ctype in cases:
+        # /predict parses the multipart body before any model check, so
+        # these genuinely exercise the parser
+        status, _, out = call(app, "POST", "/predict", raw, ctype)
+        assert status in (200, 400), (status, out[:200])
+        assert b"error" in out.lower()
