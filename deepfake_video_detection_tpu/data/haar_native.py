@@ -98,17 +98,24 @@ def detect_raw(cascade, gray: np.ndarray, scale_factor: float,
     leaves = np.ascontiguousarray(cascade.leaves, np.float64)
     stage_ends = np.ascontiguousarray(cascade.stage_ends, np.int32)
     stage_thr = np.ascontiguousarray(cascade.stage_thr, np.float64)
-    out = np.empty((max_out, 3), np.float32)
-    n = lib.haar_scan(
-        _ptr(gray, ctypes.c_float), H, W,
-        _ptr(rects, ctypes.c_int32), _ptr(weights, ctypes.c_double),
-        _ptr(feat_idx, ctypes.c_int32), _ptr(node_thr, ctypes.c_double),
-        _ptr(leaves, ctypes.c_double), _ptr(stage_ends, ctypes.c_int32),
-        _ptr(stage_thr, ctypes.c_double), cascade.n_stages,
-        cascade.win_w, cascade.win_h, float(scale_factor), int(min_size),
-        int(max_size or 0), _ptr(out, ctypes.c_float), max_out)
-    if n < 0:
-        raise RuntimeError("haar_scan failed")
+    while True:
+        out = np.empty((max_out, 3), np.float32)
+        n = lib.haar_scan(
+            _ptr(gray, ctypes.c_float), H, W,
+            _ptr(rects, ctypes.c_int32), _ptr(weights, ctypes.c_double),
+            _ptr(feat_idx, ctypes.c_int32), _ptr(node_thr, ctypes.c_double),
+            _ptr(leaves, ctypes.c_double), _ptr(stage_ends, ctypes.c_int32),
+            _ptr(stage_thr, ctypes.c_double), cascade.n_stages,
+            cascade.win_w, cascade.win_h, float(scale_factor), int(min_size),
+            int(max_size or 0), _ptr(out, ctypes.c_float), max_out)
+        if n < 0:
+            raise RuntimeError("haar_scan failed")
+        if n <= max_out:
+            break
+        # the scan found more windows than the buffer holds (returns the
+        # TRUE count): retry with room for all so no detection is dropped
+        # and the numpy-engine equivalence holds on dense frames
+        max_out = n
     xys = out[:n].astype(np.float64)
     return np.stack([xys[:, 0], xys[:, 1], xys[:, 2], xys[:, 2]],
                     1) if n else np.zeros((0, 4))

@@ -181,10 +181,12 @@ def build_plan(args: argparse.Namespace, model_name: str, num_frames: int,
                      ("--moe_experts", moe_experts > 0)):
         if ok and not is_temporal:
             raise ValueError(f"{flag} requires --model temporal")
-    if sum(map(bool, (tp > 1, wants_sp, wants_pp))) > 1:
-        raise ValueError("combine at most one of model=N / seq / pp_stages "
-                         "per training run (3-axis composition is exercised "
-                         "by dryrun_multichip phase 5)")
+    if sum(map(bool, (tp > 1, wants_sp, wants_pp, wants_ep))) > 1:
+        raise ValueError("combine at most one of model=N / seq / pp_stages / "
+                         "expert parallelism per training run (3-axis "
+                         "composition is exercised by dryrun_multichip "
+                         "phase 5); pass --expert_par 1 to run MoE densely "
+                         "alongside seq/pp")
     if wants_sp:
         if seq == "none":
             seq = "ring"

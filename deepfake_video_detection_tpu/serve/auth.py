@@ -78,7 +78,7 @@ class AuthStore:
     # -- firebase RTDB upload mirror (``app.py:815-831, 2880-2918``) ---------
 
     def _rtdb_base(self) -> str:
-        return env_str("FIREBASE_DATABASE_URL").rstrip("/")
+        return (env_str("FIREBASE_DATABASE_URL") or "").rstrip("/")
 
     def _rtdb_request(self, method: str, path: str,
                       data=None) -> Optional[Any]:

@@ -153,11 +153,20 @@ def load_model(path: str, model_type: Optional[str] = None
                 "proj.weight — cannot infer d_model")
         depth = 1 + max((int(k.split(".")[1]) for k in sd
                          if k.startswith("blocks.")), default=3)
+        # MoE checkpoints (--moe_experts) carry expert-stacked MLP leaves
+        # blocks.i.mlp.w1 of shape (E, D, H) instead of dense fc1/fc2 —
+        # rebuild the MoE template with E and the hidden ratio from the leaf
+        moe_kw = {}
+        moe_w1 = sd.get("blocks.0.mlp.w1")
+        if moe_w1 is not None and np.ndim(moe_w1) == 3:
+            e, d, h = (int(s) for s in np.shape(moe_w1))
+            moe_kw = {"moe_experts": cfg.get("moe_experts", e),
+                      "mlp_ratio": h / d}
         candidates.append((
             "temporal",
             TemporalTransformerDetector(name, d_model=d_model, depth=depth,
                                         num_heads=cfg.get("num_heads", 4),
-                                        use_cls=use_cls),
+                                        use_cls=use_cls, **moe_kw),
             sd))
     elif requested in ("cnn_lstm",) or (requested is None and
                                         any(k.startswith("cnn.") for k in sd)):

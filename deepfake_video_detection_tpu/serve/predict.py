@@ -203,9 +203,12 @@ class Predictor:
                 # first-hit compile mid-traffic stalls every waiting
                 # request (measured: an un-warmed bucket collapsed the
                 # 8-client HTTP benchmark to 2.5 clips/s)
+                # mirror _bucket(): sizes are n_dp*2^k CAPPED at max_batch,
+                # so the final (possibly non-power-of-two) bucket is warmed
+                # and no impossible shape is compiled
                 b = n_dp
                 while b < self._batcher.max_batch:
-                    b *= 2
+                    b = min(b * 2, self._batcher.max_batch)
                     batch_sizes.append(b)
             for b in batch_sizes:
                 if yuv:
@@ -268,18 +271,21 @@ class Predictor:
                     video_path, max_frames=total)
                 if packed.shape[0] == 0:
                     return {"error": "No faces detected in video"}
+                n_extracted = int(packed.shape[0])
                 packed = self._pad_to_fixed_scan_shape(packed, windows, total)
                 return self._predict_pretrained(
                     packed, os.path.basename(video_path), packed_yuv=True,
-                    windows=windows)
+                    windows=windows, n_extracted=n_extracted)
             faces = self.extractor.extract_from_video(video_path,
                                                       max_frames=total,
                                                       spread=windows > 1)
             if faces.shape[0] == 0:
                 return {"error": "No faces detected in video"}
+            n_extracted = int(faces.shape[0])
             faces = self._pad_to_fixed_scan_shape(faces, windows, total)
             return self._predict_pretrained(faces, os.path.basename(video_path),
-                                            windows=windows)
+                                            windows=windows,
+                                            n_extracted=n_extracted)
         faces = self.extractor.extract_from_video(video_path)
         if faces.shape[0] == 0:
             return {"error": "No faces detected in video"}
@@ -287,12 +293,16 @@ class Predictor:
 
     def _predict_pretrained(self, faces: np.ndarray, video_id: str,
                             packed_yuv: bool = False,
-                            windows: int = 1) -> Dict[str, Any]:
+                            windows: int = 1,
+                            n_extracted: Optional[int] = None
+                            ) -> Dict[str, Any]:
         import jax.numpy as jnp
 
         abstain_conf = env_float("DETECT_ABSTAIN_CONF", 0.60)
         abstain_margin = max(0.0, min(0.5, env_float("DETECT_ABSTAIN_MARGIN", 0.0)))
-        num_faces = int(faces.shape[0])
+        # report the number of faces actually extracted from the clip, not
+        # the cycle-padded static-shape count the forward pass sees
+        num_faces = int(faces.shape[0]) if n_extracted is None else n_extracted
         min_faces = max(1, env_int("MIN_FACES", 2))
         if num_faces < min_faces:
             return {

@@ -73,7 +73,9 @@ void haar_prepare(const uint8_t* rgb, int H, int W, float* out, int oh,
 
 // Scan the full pyramid of one grayscale image. Appends raw surviving
 // windows as (x, y, side) triples in ORIGINAL image coordinates (float).
-// Returns the number of boxes written (clamped to max_out), or -1 on error.
+// Returns the TRUE number of surviving windows (may exceed max_out, in
+// which case only the first max_out were written and the caller should
+// retry with a larger buffer), or -1 on error.
 int haar_scan(const float* gray, int H, int W,
               const int32_t* rects,      // (F,3,4) x,y,w,h in 24x24 units
               const double* weights,     // (F,3)
@@ -186,7 +188,7 @@ int haar_scan(const float* gray, int H, int W,
     }
     factor *= scale_factor;
   }
-  return n_out < max_out ? n_out : max_out;
+  return n_out;
 }
 
 }  // extern "C"

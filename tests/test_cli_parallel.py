@@ -107,6 +107,18 @@ def test_cli_ep_moe_temporal(npz_dir, tmp_path):
                    "--d_model", "32", "--depth", "2", "--heads", "4"] + BASE)
     assert rc == 0
     _assert_trained(out)
+    # an MoE-trained checkpoint must be SERVABLE: the loader rebuilds the
+    # expert-stacked MLP template from blocks.i.mlp.w1 (E, D, H)
+    from deepfake_video_detection_tpu.serve.loader import load_model
+
+    best = os.path.join(out, "checkpoint_best.npz")
+    model, variables, report = load_model(best)
+    assert report["model_type"] == "temporal"
+    assert model.moe is not None and model.moe.num_experts == 2
+    assert report["match_ratio"] >= 0.99, report
+    x = np.zeros((1, 4, 32, 32, 3), np.float32)
+    (logits, _), _ = model.apply(variables, x, train=False)
+    assert np.all(np.isfinite(np.asarray(logits)))
 
 
 def test_cli_explicit_dp_mesh(npz_dir, tmp_path):

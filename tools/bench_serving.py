@@ -199,7 +199,8 @@ def main() -> None:
         print(json.dumps({
             "metric": "concurrent_serving_clips_per_sec",
             "value": max(v for k, v in results.items()
-                         if not k.endswith("_errors")),
+                         if isinstance(v, (int, float))
+                         and not k.endswith("_errors")),
             "unit": "aggregate clips/s over HTTP /api/predict "
                     "(stdlib WSGI + micro-batcher, center+YUV path)",
             "levels": results,
