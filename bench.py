@@ -151,8 +151,9 @@ def bench_train(batch: int = 16, t: int = 8, steps_per_call: int = 8,
     peak = 394e12                             # v5e bf16 peak FLOP/s
     # standard (model-analytic) MFU: paper GMACs per 224px frame forward,
     # x2 FLOPs/MAC, x3 for fwd+bwd
-    model_flops_per_frame = _BACKBONE_GMACS[backbone] * 1e9 * 2 * 3
-    mfu = frames_per_sec * model_flops_per_frame / peak
+    gmacs = _BACKBONE_GMACS.get(backbone)  # None for uncatalogued variants
+    mfu = (frames_per_sec * gmacs * 1e9 * 2 * 3 / peak
+           if gmacs is not None else None)
     # XLA's own count of the compiled program (fused/rewritten ops — an
     # under-estimate on TPU backends; reported for transparency)
     mfu_xla = (flops_per_call * n_calls / dt / peak) if flops_per_call else None
@@ -165,7 +166,7 @@ def bench_train(batch: int = 16, t: int = 8, steps_per_call: int = 8,
                  + (f"; XLA flops/step={flops_per_call / k:.3e}"
                     if flops_per_call else "")),
         "vs_baseline": round(clips_per_sec / 50.0, 3),
-        "mfu": round(mfu, 4),
+        "mfu": round(mfu, 4) if mfu is not None else None,
         "mfu_xla_counted": round(mfu_xla, 4) if mfu_xla else None,
     }))
 
@@ -354,8 +355,10 @@ if __name__ == "__main__":
     import sys
 
     if "--train" in sys.argv:
-        _model = (sys.argv[sys.argv.index("--model") + 1]
-                  if "--model" in sys.argv
+        _mi = sys.argv.index("--model") if "--model" in sys.argv else -1
+        if _mi >= 0 and _mi + 1 >= len(sys.argv):
+            raise SystemExit("usage: bench.py --train [--model <backbone>]")
+        _model = (sys.argv[_mi + 1] if _mi >= 0
                   else os.environ.get("BENCH_TRAIN_MODEL", "efficientnet_b0"))
         bench_train(batch=int(os.environ.get("BENCH_TRAIN_BATCH", 16)),
                     steps_per_call=int(os.environ.get("BENCH_TRAIN_K", 8)),

@@ -29,6 +29,7 @@ crop/normalize/forward — exactly where the reference runs it.
 
 from __future__ import annotations
 
+import math
 import os
 import threading
 import xml.etree.ElementTree as ET
@@ -184,8 +185,6 @@ class HaarCascade:
         self.node_thr = np.asarray(node_thr)
         self.leaves = np.asarray(leaves)
         self.n_stages = len(self.stage_thr)
-        self._native_blob = None
-        self._lock = threading.Lock()
 
     # -- engines --------------------------------------------------------------
 
@@ -259,7 +258,10 @@ class HaarCascade:
         raw = []
         factor = max(1.0, min_size / self.win_w)
         while True:
-            lh, lw = int(round(H / factor)), int(round(W / factor))
+            # half-away-from-zero to match std::lround in native/haar.cc
+            # (Python round() is half-even: round(120.5) == 120 != lround)
+            lh = int(math.floor(H / factor + 0.5))
+            lw = int(math.floor(W / factor + 0.5))
             if lh < self.win_h or lw < self.win_w:
                 break
             if max_size is not None and self.win_w * factor > max_size:

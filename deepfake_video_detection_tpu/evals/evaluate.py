@@ -154,13 +154,20 @@ def build_model_from_checkpoint(sd: Dict[str, np.ndarray], meta: Dict[str, Any],
             (int(k.split(".")[1]) for k in sd if k.startswith("blocks.")),
             default=3)
         # MoE checkpoints: expert-stacked blocks.i.mlp.w1 (E, D, H) replaces
-        # the dense fc1/fc2 pair — rebuild with E + hidden ratio from the leaf
+        # the dense fc1/fc2 pair — rebuild with E + the exact hidden width
+        # from the leaf (a float ratio can truncate h by one)
         moe_kw = {}
         moe_w1 = sd.get("blocks.0.mlp.w1")
         if moe_w1 is not None and np.ndim(moe_w1) == 3:
-            e, d, h = (int(s) for s in np.shape(moe_w1))
+            e, _, h = (int(s) for s in np.shape(moe_w1))
             moe_kw = {"moe_experts": cfg.get("moe_experts", e),
-                      "mlp_ratio": h / d}
+                      "mlp_hidden": h}
+        else:
+            fc1 = sd.get("blocks.0.mlp.fc1.weight")
+            if fc1 is not None and np.ndim(fc1) == 2:
+                dims = [int(s) for s in np.shape(fc1)]
+                moe_kw = {"mlp_hidden": next(
+                    (s for s in dims if s != d_model), dims[0])}
         model = TemporalTransformerDetector(
             cfg.get("backbone", "efficientnet_b0"), d_model=d_model,
             depth=depth, num_heads=cfg.get("num_heads", 4), use_cls=use_cls,

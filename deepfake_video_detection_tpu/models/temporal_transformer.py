@@ -86,6 +86,7 @@ class TemporalTransformerDetector:
         depth: int = 4,
         num_heads: int = 4,
         mlp_ratio: float = 4.0,
+        mlp_hidden: Optional[int] = None,
         dropout_rate: float = 0.1,
         max_frames: int = 4096,
         use_flash: bool = True,
@@ -131,7 +132,10 @@ class TemporalTransformerDetector:
         self.d_model = d_model
         self.depth = depth
         self.num_heads = num_heads
-        self.mlp_hidden = int(d_model * mlp_ratio)
+        # explicit mlp_hidden wins: int(d_model * (h / d_model)) can truncate
+        # to h-1 in float, so checkpoint loaders pass the exact leaf size
+        self.mlp_hidden = (int(mlp_hidden) if mlp_hidden is not None
+                           else int(d_model * mlp_ratio))
         self.dropout_rate = dropout_rate
         self.max_frames = max_frames
         self.use_flash = use_flash

@@ -187,18 +187,19 @@ class AuthStore:
         return db.get(email, [])
 
     def add_upload(self, email: str, record: Dict[str, Any]) -> None:
+        # local mirror is ALWAYS written: a transient RTDB read failure later
+        # must not make the user's history (and result pages) disappear
+        with _LOCK:
+            db = _read_json(self.uploads_path, {})
+            db.setdefault(email, []).append(record)
+            _write_json(self.uploads_path, db)
         uid = self.fb_uids.get(email)
         if uid and self._rtdb_base() and record.get("id") is not None:
             try:
                 self._rtdb_request("PUT", f"uploads/{uid}/{record['id']}",
                                    record)
-                return
             except Exception:
-                pass
-        with _LOCK:
-            db = _read_json(self.uploads_path, {})
-            db.setdefault(email, []).append(record)
-            _write_json(self.uploads_path, db)
+                pass  # remote mirror is best-effort, like the reference
 
     def get_upload(self, email: str, upload_id: str) -> Optional[Dict[str, Any]]:
         for rec in self.list_uploads(email):

@@ -130,6 +130,12 @@ class MicroBatcher:
             None if out is None else (out if ax is None else _slice(out, ax, 0))
             for out, ax in zip(outputs, out_axes))
 
+    def bucket_sizes(self) -> List[int]:
+        """Every distinct padded batch size ``_execute`` can produce —
+        the single source of truth for warmup pre-compilation."""
+        return sorted({_bucket(n, self.max_batch, self.bucket_multiple)
+                       for n in range(1, self.max_batch + 1)})
+
     def close(self) -> None:
         with self._cond:
             self._closed = True

@@ -159,9 +159,17 @@ def load_model(path: str, model_type: Optional[str] = None
         moe_kw = {}
         moe_w1 = sd.get("blocks.0.mlp.w1")
         if moe_w1 is not None and np.ndim(moe_w1) == 3:
-            e, d, h = (int(s) for s in np.shape(moe_w1))
+            e, _, h = (int(s) for s in np.shape(moe_w1))
             moe_kw = {"moe_experts": cfg.get("moe_experts", e),
-                      "mlp_ratio": h / d}
+                      "mlp_hidden": h}
+        else:
+            # dense MLP: recover a non-default hidden width (custom
+            # --mlp_ratio) from the fc1 leaf — the dim that isn't d_model
+            fc1 = sd.get("blocks.0.mlp.fc1.weight")
+            if fc1 is not None and np.ndim(fc1) == 2:
+                dims = [int(s) for s in np.shape(fc1)]
+                h = next((s for s in dims if s != d_model), dims[0])
+                moe_kw = {"mlp_hidden": h}
         candidates.append((
             "temporal",
             TemporalTransformerDetector(name, d_model=d_model, depth=depth,

@@ -203,14 +203,8 @@ class Predictor:
                 # first-hit compile mid-traffic stalls every waiting
                 # request (measured: an un-warmed bucket collapsed the
                 # 8-client HTTP benchmark to 2.5 clips/s)
-                # mirror _bucket(): sizes are n_dp*2^k CAPPED at max_batch,
-                # so the final (possibly non-power-of-two) bucket is warmed
-                # and no impossible shape is compiled
-                b = n_dp
-                while b < self._batcher.max_batch:
-                    b = min(b * 2, self._batcher.max_batch)
-                    batch_sizes.append(b)
-            for b in batch_sizes:
+                batch_sizes.extend(self._batcher.bucket_sizes())
+            for b in dict.fromkeys(batch_sizes):  # dedupe, keep order
                 if yuv:
                     packed = jnp.zeros((b, T, size * size * 3 // 2), jnp.uint8)
                     out = self._forward_yuv(self._variables, packed)

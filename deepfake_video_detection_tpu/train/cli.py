@@ -45,7 +45,8 @@ def build_model(name: str, num_frames: int, vit_variant: str = "vit_tiny_patch16
         return (TemporalTransformerDetector(backbone, **kw), None,
                 {"model_type": "temporal", "backbone": backbone,
                  **{k: kw[k] for k in ("d_model", "depth", "num_heads",
-                                       "moe_experts", "mlp_ratio", "use_cls")
+                                       "moe_experts", "mlp_ratio",
+                                       "mlp_hidden", "use_cls")
                     if k in kw}})
     raise ValueError(f"unknown model {name!r}")
 

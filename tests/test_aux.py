@@ -135,19 +135,23 @@ def test_rtdb_upload_mirror(tmp_path, monkeypatch):
     rec = {"id": "abc", "filename": "v.mp4", "verdict": "Real"}
     store.add_upload("u@x.io", rec)
     assert calls[0] == ("PUT", "https://rtdb.example/uploads/uid123/abc.json")
-    assert not (tmp_path / "uploads.json").exists()  # remote-only write
+    # the local mirror is ALWAYS written so a later transient RTDB read
+    # failure can't make the user's history disappear
+    assert (tmp_path / "uploads.json").exists()
 
     got = store.list_uploads("u@x.io")
     assert got == [rec]
     assert calls[-1][0] == "GET"
 
-    # RTDB failure → local fallback, like the reference
+    # RTDB failure → local fallback, like the reference — and the earlier
+    # remote-PUT record is still there thanks to the local mirror
     def broken(req, timeout=None):
         raise OSError("no egress")
 
     store._http = broken
     store.add_upload("u@x.io", {"id": "d2", "filename": "w.mp4"})
-    assert store.list_uploads("u@x.io") == [{"id": "d2", "filename": "w.mp4"}]
+    assert store.list_uploads("u@x.io") == [
+        rec, {"id": "d2", "filename": "w.mp4"}]
 
     # no Firebase uid (local-fallback account) → purely local, no HTTP
     store._http = fake_http
