@@ -22,26 +22,32 @@ from deepfake_video_detection_tpu.train.trainer import Trainer, TrainerConfig
 
 def build_model(name: str, num_frames: int, vit_variant: str = "vit_tiny_patch16_224",
                 backbone: str = "efficientnet_b0",
-                temporal_kwargs: dict = None):
+                temporal_kwargs: dict = None, bf16: bool = False):
     """``temporal_kwargs``: size + parallelism kwargs for the temporal
     family — ``parallel.strategy.build_plan`` produces the mesh/seq/stage/
     expert entries, so CLI flags reach the SAME model code paths the
-    driver dryrun exercises (VERDICT r2 item 2)."""
+    driver dryrun exercises (VERDICT r2 item 2). ``bf16``: bfloat16
+    activations (params stay f32 — the serving recipe)."""
+    import jax.numpy as jnp
+
+    cdt = jnp.bfloat16 if bf16 else jnp.float32
     name = name.lower()
     if name in ("vit_gcn", "gcn"):
-        model = FrameGraphDetector(vit_variant=vit_variant)
+        model = FrameGraphDetector(vit_variant=vit_variant, compute_dtype=cdt)
         return model, "chain", {"model_type": "vit_gcn", "vit_variant": vit_variant}
     if name in ("cnn_lstm", "cnnlstm"):
-        return CNNLSTMHybrid(), None, {"model_type": "cnn_lstm"}
+        return (CNNLSTMHybrid(compute_dtype=cdt), None,
+                {"model_type": "cnn_lstm"})
     if name in ("pretrained", "backbone"):
         from deepfake_video_detection_tpu.models.backbone_detector import (
             BackboneDetector)
-        return (BackboneDetector(backbone), None,
+        return (BackboneDetector(backbone, compute_dtype=cdt), None,
                 {"model_type": "pretrained", "backbone": backbone})
     if name in ("temporal", "temporal_transformer"):
         from deepfake_video_detection_tpu.models.temporal_transformer import (
             TemporalTransformerDetector)
         kw = dict(temporal_kwargs or {})
+        kw.setdefault("compute_dtype", cdt)
         return (TemporalTransformerDetector(backbone, **kw), None,
                 {"model_type": "temporal", "backbone": backbone,
                  **{k: kw[k] for k in ("d_model", "depth", "num_heads",
@@ -74,6 +80,8 @@ def main(argv=None) -> int:
                     help="optimizer steps fused into one device dispatch "
                          "(scan-of-steps; amortizes dispatch overhead)")
     ap.add_argument("--torch-export", action="store_true")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 activations (params stay f32)")
     ap.add_argument("--from-videos", dest="from_videos", action="store_true",
                     help="train directly from raw video files in --data_dir "
                          "(in-loader C++ decode; no .npz prep stage)")
@@ -117,7 +125,8 @@ def main(argv=None) -> int:
     model, adjacency, model_config = build_model(args.model, args.num_frames,
                                                  args.vit_variant,
                                                  args.backbone,
-                                                 temporal_kwargs)
+                                                 temporal_kwargs,
+                                                 bf16=args.bf16)
     cfg = TrainerConfig(
         out_dir=args.out_dir, epochs=args.epochs, batch_size=args.batch_size,
         num_frames=args.num_frames, lr=args.lr, optimizer="adam",

@@ -39,6 +39,8 @@ def main(argv=None) -> int:
     ap.add_argument("--resume", default=None)
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--recursive", action="store_true")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 activations (params stay f32)")
     from deepfake_video_detection_tpu.parallel.strategy import (
         add_parallel_args, build_plan)
     add_parallel_args(ap, temporal=False)
@@ -54,7 +56,11 @@ def main(argv=None) -> int:
         parts = args.backbone.split(":", 1)
         flavor = parts[0]
         variant = parts[1] if len(parts) > 1 else "vit_base_patch16_224"
-    model = FrameGraphDetector(vit_variant=variant, backbone=flavor)
+    import jax.numpy as jnp
+
+    model = FrameGraphDetector(vit_variant=variant, backbone=flavor,
+                               compute_dtype=jnp.bfloat16 if args.bf16
+                               else jnp.float32)
     normalize = "clip" if flavor == "clip" else "imagenet"
     cfg = TrainerConfig(
         out_dir=args.out_dir, epochs=args.epochs, batch_size=args.batch_size,

@@ -121,6 +121,20 @@ def test_cli_ep_moe_temporal(npz_dir, tmp_path):
     assert np.all(np.isfinite(np.asarray(logits)))
 
 
+def test_cli_bf16_pretrained(npz_dir, tmp_path):
+    """--bf16 (bfloat16 activations, f32 params) trains finitely through
+    the default DP path and the checkpoint stays f32 + servable."""
+    out = str(tmp_path / "bf16")
+    rc = cli.main(["--data_dir", npz_dir, "--model", "pretrained",
+                   "--out_dir", out, "--bf16"] + BASE)
+    assert rc == 0
+    _assert_trained(out)
+    variables, meta = load_checkpoint(
+        os.path.join(out, "checkpoint_best.npz"))[:2]
+    leaf = next(iter(jax.tree_util.tree_leaves(variables["params"])))
+    assert np.asarray(leaf).dtype == np.float32  # params stay f32
+
+
 def test_cli_explicit_dp_mesh(npz_dir, tmp_path):
     out = str(tmp_path / "dp8")
     rc = cli.main(["--data_dir", npz_dir, "--model", "cnn_lstm",
