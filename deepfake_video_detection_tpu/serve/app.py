@@ -125,9 +125,12 @@ class Request:
             return {k: v[0] for k, v in parse_qs(self.body.decode()).items()}
         return {}
 
-    def files(self) -> List[Tuple[str, str, bytes]]:
-        """Multipart files as (field, filename, content). Minimal parser —
-        the stdlib dropped ``cgi`` in 3.13, so we split on the boundary."""
+    def _multipart_parts(self) -> List[Tuple[str, bytes]]:
+        """Raw multipart parts as (headers_text, content). Minimal parser —
+        the stdlib dropped ``cgi`` in 3.13, so we split on the boundary.
+        Exactly ONE delimiting CRLF is removed on each side of a part:
+        ``strip(b"\\r\\n")`` would eat trailing 0x0D/0x0A bytes that are
+        legitimately part of an uploaded binary file."""
         ctype = self.environ.get("CONTENT_TYPE", "")
         m = re.search(r'boundary="?([^";]+)"?', ctype)
         if not ctype.startswith("multipart/form-data") or not m:
@@ -135,13 +138,22 @@ class Request:
         boundary = ("--" + m.group(1)).encode()
         out = []
         for part in self.body.split(boundary):
-            part = part.strip(b"\r\n")
-            if not part or part == b"--":
+            if not part or part.startswith(b"--"):  # preamble / terminator
                 continue
+            if part.startswith(b"\r\n"):
+                part = part[2:]
+            if part.endswith(b"\r\n"):
+                part = part[:-2]
             if b"\r\n\r\n" not in part:
                 continue
             head, content = part.split(b"\r\n\r\n", 1)
-            headers = head.decode(errors="replace")
+            out.append((head.decode(errors="replace"), content))
+        return out
+
+    def files(self) -> List[Tuple[str, str, bytes]]:
+        """Multipart files as (field, filename, content)."""
+        out = []
+        for headers, content in self._multipart_parts():
             fm = re.search(r'name="([^"]*)"', headers)
             fn = re.search(r'filename="([^"]*)"', headers)
             if fm and fn and fn.group(1):
@@ -150,18 +162,11 @@ class Request:
 
     def form_fields(self) -> Dict[str, str]:
         """Non-file fields of a multipart body."""
-        ctype = self.environ.get("CONTENT_TYPE", "")
-        m = re.search(r'boundary="?([^";]+)"?', ctype)
-        if not ctype.startswith("multipart/form-data") or not m:
+        if not self.environ.get("CONTENT_TYPE", "").startswith(
+                "multipart/form-data"):
             return self.form()
-        boundary = ("--" + m.group(1)).encode()
         out: Dict[str, str] = {}
-        for part in self.body.split(boundary):
-            part = part.strip(b"\r\n")
-            if b"\r\n\r\n" not in part:
-                continue
-            head, content = part.split(b"\r\n\r\n", 1)
-            headers = head.decode(errors="replace")
+        for headers, content in self._multipart_parts():
             fm = re.search(r'name="([^"]*)"', headers)
             fn = re.search(r'filename="', headers)
             if fm and not fn:

@@ -446,3 +446,23 @@ def test_payload_too_large_and_multipart_fuzz(served, monkeypatch):
         status, _, out = call(app, "POST", "/predict", raw, ctype)
         assert status in (200, 400), (status, out[:200])
         assert b"error" in out.lower()
+
+
+def test_multipart_preserves_trailing_newline_bytes():
+    """An uploaded binary whose content legitimately ends in 0x0D/0x0A
+    bytes must round-trip byte-exact: only the ONE delimiting CRLF may be
+    removed (strip(b"\\r\\n") would corrupt such files)."""
+    import io as _io
+
+    from deepfake_video_detection_tpu.serve.app import Request
+
+    content = b"\r\nMOOV\x00\x01\r\r\n\n\r\n"  # newline bytes on both ends
+    body, ct = multipart("video", "clip.mp4", content)
+    req = Request({"REQUEST_METHOD": "POST", "PATH_INFO": "/api/predict",
+                   "QUERY_STRING": "", "CONTENT_LENGTH": str(len(body)),
+                   "CONTENT_TYPE": ct, "wsgi.input": _io.BytesIO(body)})
+    files = req.files()
+    assert len(files) == 1
+    field, fname, got = files[0]
+    assert (field, fname) == ("video", "clip.mp4")
+    assert got == content, (got, content)
