@@ -102,9 +102,13 @@ class RNNVideoPipeline:
 
 
 def build_model_from_checkpoint(sd: Dict[str, np.ndarray], meta: Dict[str, Any],
-                                model_type: str):
+                                model_type: str, compute_dtype=None):
     """Model + variables from a checkpoint, with reference-style inference of
-    the architecture when ``model_config`` metadata is absent."""
+    the architecture when ``model_config`` metadata is absent.
+
+    ``compute_dtype`` selects the activation dtype (``--bf16`` on the CLI;
+    params stay f32 — same convention as the training CLIs and the serve
+    loader's ``COMPUTE_DTYPE``)."""
     from deepfake_video_detection_tpu.models.backbone_detector import (
         BackboneDetector, EnsembleDetector)
     from deepfake_video_detection_tpu.models.cnn_lstm import CNNLSTMHybrid
@@ -112,6 +116,7 @@ def build_model_from_checkpoint(sd: Dict[str, np.ndarray], meta: Dict[str, Any],
     from deepfake_video_detection_tpu.models.logic_rnn import LogicRNNLSTM
 
     cfg = meta.get("model_config") or {}
+    cdt = compute_dtype if compute_dtype is not None else jnp.float32
     mt = model_type or cfg.get("model_type", "")
     if not mt:
         if infer_ensemble_count(sd) > 0:
@@ -126,9 +131,9 @@ def build_model_from_checkpoint(sd: Dict[str, np.ndarray], meta: Dict[str, Any],
             mt = "pretrained"
     if mt in ("vit_gcn", "gcn"):
         variant = cfg.get("vit_variant") or infer_vit_variant_from_state_dict(sd)
-        model = FrameGraphDetector(vit_variant=variant)
+        model = FrameGraphDetector(vit_variant=variant, compute_dtype=cdt)
     elif mt in ("cnn_lstm",):
-        model = CNNLSTMHybrid()
+        model = CNNLSTMHybrid(compute_dtype=cdt)
     elif mt in ("rnn", "logic_rnn"):
         i, h, n = infer_logic_rnn_dims(sd)
         model = RNNVideoPipeline(LogicRNNLSTM(input_size=i, hidden_size=h,
@@ -138,10 +143,10 @@ def build_model_from_checkpoint(sd: Dict[str, np.ndarray], meta: Dict[str, Any],
         sd = {f"rnn.{k}": v for k, v in sd.items()}
     elif mt == "ensemble":
         backbones = cfg.get("backbones") or ["efficientnet_b0"] * infer_ensemble_count(sd)
-        model = EnsembleDetector(backbones)
+        model = EnsembleDetector(backbones, compute_dtype=cdt)
     elif mt in ("temporal", "temporal_transformer"):
         from deepfake_video_detection_tpu.models.temporal_transformer import (
-            TemporalTransformerDetector, normalize_state_dict)
+            TemporalTransformerDetector, infer_mlp_kwargs, normalize_state_dict)
         sd = normalize_state_dict(sd)  # PP checkpoints: stacked → loop layout
         use_cls = "cls_token" in sd
         if use_cls:
@@ -153,27 +158,14 @@ def build_model_from_checkpoint(sd: Dict[str, np.ndarray], meta: Dict[str, Any],
         depth = cfg.get("depth") or 1 + max(
             (int(k.split(".")[1]) for k in sd if k.startswith("blocks.")),
             default=3)
-        # MoE checkpoints: expert-stacked blocks.i.mlp.w1 (E, D, H) replaces
-        # the dense fc1/fc2 pair — rebuild with E + the exact hidden width
-        # from the leaf (a float ratio can truncate h by one)
-        moe_kw = {}
-        moe_w1 = sd.get("blocks.0.mlp.w1")
-        if moe_w1 is not None and np.ndim(moe_w1) == 3:
-            e, _, h = (int(s) for s in np.shape(moe_w1))
-            moe_kw = {"moe_experts": cfg.get("moe_experts", e),
-                      "mlp_hidden": h}
-        else:
-            fc1 = sd.get("blocks.0.mlp.fc1.weight")
-            if fc1 is not None and np.ndim(fc1) == 2:
-                dims = [int(s) for s in np.shape(fc1)]
-                moe_kw = {"mlp_hidden": next(
-                    (s for s in dims if s != d_model), dims[0])}
+        moe_kw = infer_mlp_kwargs(sd, d_model, cfg)
         model = TemporalTransformerDetector(
             cfg.get("backbone", "efficientnet_b0"), d_model=d_model,
             depth=depth, num_heads=cfg.get("num_heads", 4), use_cls=use_cls,
-            **moe_kw)
+            compute_dtype=cdt, **moe_kw)
     else:
-        model = BackboneDetector(cfg.get("backbone", "efficientnet_b0"))
+        model = BackboneDetector(cfg.get("backbone", "efficientnet_b0"),
+                                 compute_dtype=cdt)
     template = model.init(jax.random.PRNGKey(0))
     variables, report = import_into_variables(sd, template, strict=False)
     return model, variables, report, mt
@@ -234,10 +226,16 @@ def main(argv=None) -> int:
                          "C++ decode; no .npz prep stage)")
     ap.add_argument("--labels_csv", default=None)
     ap.add_argument("--face_size", type=int, default=224)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 activations (params stay f32) — same "
+                         "convention as the training CLIs; the rnn pipeline "
+                         "stays f32 (scan LSTM is not MXU-bound)")
     args = ap.parse_args(argv)
 
     sd, meta = load_any(args.checkpoint)
-    model, variables, report, mt = build_model_from_checkpoint(sd, meta, args.model)
+    model, variables, report, mt = build_model_from_checkpoint(
+        sd, meta, args.model,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None)
     print(f"model={mt} matched={len(report['matched'])} missing={len(report['missing'])} "
           f"match_ratio={report['match_ratio']:.3f}")
 

@@ -166,11 +166,12 @@ def import_hf_vision_state_dict(sd: Dict[str, np.ndarray],
 
 def build_feature_extractor(backbone: str = "timm",
                             variant: str = "vit_base_patch16_224",
-                            img_size: int = 224):
+                            img_size: int = 224,
+                            compute_dtype=jnp.float32):
     """Factory mirroring the reference's backbone kwarg dispatch
     (``src/models.py:240-248``): 'timm' | 'clip' | 'dinov2'."""
     if backbone == "clip":
-        return CLIPVisionFeatureExtractor(variant, img_size)
+        return CLIPVisionFeatureExtractor(variant, img_size, compute_dtype)
     if backbone == "dinov2":
-        return DINOv2VisionFeatureExtractor(variant, img_size)
-    return ViTFeatureExtractor(variant, img_size)
+        return DINOv2VisionFeatureExtractor(variant, img_size, compute_dtype)
+    return ViTFeatureExtractor(variant, img_size, compute_dtype)

@@ -75,7 +75,7 @@ class FrameGraphDetector:
             from deepfake_video_detection_tpu.models.feature_extractors import (
                 build_feature_extractor)
             self.vit = build_feature_extractor(backbone, vit_variant,
-                                               img_size).vit
+                                               img_size, compute_dtype).vit
         else:
             self.vit = VisionTransformer(variant=vit_variant, img_size=img_size,
                                          num_classes=0,

@@ -77,6 +77,35 @@ def normalize_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+def infer_mlp_kwargs(sd: Dict[str, Any], d_model: int,
+                     cfg: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    """Constructor kwargs to rebuild a checkpoint's block-MLP layout —
+    shared by the serve loader and the evaluator so both always
+    reconstruct the same architecture from the same checkpoint.
+
+    MoE checkpoints (``--moe_experts``) carry expert-stacked leaves
+    ``blocks.i.mlp.w1`` of shape (E, D, H); dense checkpoints carry the
+    fc1/fc2 pair. Either way the EXACT hidden width comes from the leaf:
+    a float ratio would truncate ``int(d * (h / d))`` to ``h - 1`` for
+    many (d_model, hidden) pairs.
+    """
+    import numpy as np
+
+    cfg = cfg or {}
+    w1 = sd.get("blocks.0.mlp.w1")
+    if w1 is not None and np.ndim(w1) == 3:
+        e, _, h = (int(s) for s in np.shape(w1))
+        return {"moe_experts": cfg.get("moe_experts", e), "mlp_hidden": h}
+    fc1 = sd.get("blocks.0.mlp.fc1.weight")
+    if fc1 is not None and np.ndim(fc1) == 2:
+        dims = [int(s) for s in np.shape(fc1)]
+        # fc1 maps D -> H; the hidden width is the dim that isn't d_model
+        # (if H == D both dims agree, so dims[0] is right either way)
+        return {"mlp_hidden": next((s for s in dims if s != d_model),
+                                   dims[0])}
+    return {}
+
+
 class TemporalTransformerDetector:
     def __init__(
         self,

@@ -173,18 +173,28 @@ class AuthStore:
     # failure falls back to the local file).
 
     def list_uploads(self, email: str) -> List[Dict[str, Any]]:
+        local = _read_json(self.uploads_path, {}).get(email, [])
         uid = self.fb_uids.get(email)
         if uid and self._rtdb_base():
             try:
                 data = self._rtdb_request("GET", f"uploads/{uid}")
-                if isinstance(data, dict):
-                    return list(data.values())
-                if data is None:
-                    return []
             except Exception:
-                pass  # fall back to local, like the reference
-        db = _read_json(self.uploads_path, {})
-        return db.get(email, [])
+                return local  # fall back to local, like the reference
+            if data is None or isinstance(data, dict):
+                # merge both directions: a record whose PUT failed (or with
+                # id=None) lives only in the local mirror and must not vanish
+                # once RTDB reads recover; a record uploaded from another
+                # device lives only remotely. Remote copy wins on conflict,
+                # local insertion order is kept, remote-only records append.
+                remote = {str(k): v for k, v in (data or {}).items()}
+                merged = []
+                for rec in local:
+                    rid = rec.get("id")
+                    merged.append(remote.pop(str(rid), rec)
+                                  if rid is not None else rec)
+                merged.extend(remote.values())
+                return merged
+        return local
 
     def add_upload(self, email: str, record: Dict[str, Any]) -> None:
         # local mirror is ALWAYS written: a transient RTDB read failure later

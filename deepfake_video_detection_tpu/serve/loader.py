@@ -106,6 +106,24 @@ def _strip_member(sd: Dict[str, np.ndarray], i: int) -> Dict[str, np.ndarray]:
     return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
 
 
+def serving_dtype():
+    """Activation compute dtype for served models (params stay f32).
+
+    ``COMPUTE_DTYPE`` env wins when set (``bfloat16``/``bf16`` or
+    ``float32``/``f32``). Otherwise bfloat16 on accelerators — the
+    TPU-native serving default (``ModelConfig.compute_dtype``) — and
+    float32 on CPU backends, where bf16 is slower and exact-parity
+    numerics (torch cross-checks, CI) matter more than bandwidth.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    name = (env_str("COMPUTE_DTYPE") or "").lower()
+    if not name:
+        name = "bfloat16" if jax.default_backend() != "cpu" else "float32"
+    return jnp.bfloat16 if name in ("bfloat16", "bf16") else jnp.float32
+
+
 def load_model(path: str, model_type: Optional[str] = None
                ) -> Tuple[Any, Dict[str, Any], Dict[str, Any]]:
     """Resolve + load a serving model. Returns (model, variables, stats).
@@ -127,13 +145,15 @@ def load_model(path: str, model_type: Optional[str] = None
     fname = os.path.basename(path)
 
     requested = (model_type or "").strip().lower() or cfg.get("model_type") or None
+    cdt = serving_dtype()
 
     candidates: List[Tuple[str, Any, Dict[str, np.ndarray]]] = []
     if requested in ("temporal", "temporal_transformer") or (
             requested is None and "cls_token" in sd
             and any(k.startswith("backbone.") for k in sd)):
         from deepfake_video_detection_tpu.models.temporal_transformer import (
-            TemporalTransformerDetector, normalize_state_dict)
+            TemporalTransformerDetector, infer_mlp_kwargs,
+            normalize_state_dict)
 
         # pipeline-parallel checkpoints store blocks stacked; renumber to
         # the canonical loop layout (shared helper, also used by the
@@ -153,38 +173,24 @@ def load_model(path: str, model_type: Optional[str] = None
                 "proj.weight — cannot infer d_model")
         depth = 1 + max((int(k.split(".")[1]) for k in sd
                          if k.startswith("blocks.")), default=3)
-        # MoE checkpoints (--moe_experts) carry expert-stacked MLP leaves
-        # blocks.i.mlp.w1 of shape (E, D, H) instead of dense fc1/fc2 —
-        # rebuild the MoE template with E and the hidden ratio from the leaf
-        moe_kw = {}
-        moe_w1 = sd.get("blocks.0.mlp.w1")
-        if moe_w1 is not None and np.ndim(moe_w1) == 3:
-            e, _, h = (int(s) for s in np.shape(moe_w1))
-            moe_kw = {"moe_experts": cfg.get("moe_experts", e),
-                      "mlp_hidden": h}
-        else:
-            # dense MLP: recover a non-default hidden width (custom
-            # --mlp_ratio) from the fc1 leaf — the dim that isn't d_model
-            fc1 = sd.get("blocks.0.mlp.fc1.weight")
-            if fc1 is not None and np.ndim(fc1) == 2:
-                dims = [int(s) for s in np.shape(fc1)]
-                h = next((s for s in dims if s != d_model), dims[0])
-                moe_kw = {"mlp_hidden": h}
+        moe_kw = infer_mlp_kwargs(sd, d_model, cfg)
         candidates.append((
             "temporal",
             TemporalTransformerDetector(name, d_model=d_model, depth=depth,
                                         num_heads=cfg.get("num_heads", 4),
-                                        use_cls=use_cls, **moe_kw),
+                                        use_cls=use_cls, compute_dtype=cdt,
+                                        **moe_kw),
             sd))
     elif requested in ("cnn_lstm",) or (requested is None and
                                         any(k.startswith("cnn.") for k in sd)):
-        candidates.append(("cnn_lstm", CNNLSTMHybrid(), sd))
+        candidates.append(("cnn_lstm", CNNLSTMHybrid(compute_dtype=cdt), sd))
     elif requested in ("vit_gcn", "gcn") or (requested is None and
                                              any(k.startswith("gcn.") for k in sd)):
         from deepfake_video_detection_tpu.evals.evaluate import (
             infer_vit_variant_from_state_dict)
         variant = cfg.get("vit_variant") or infer_vit_variant_from_state_dict(sd)
-        candidates.append(("vit_gcn", FrameGraphDetector(vit_variant=variant), sd))
+        candidates.append(("vit_gcn", FrameGraphDetector(
+            vit_variant=variant, compute_dtype=cdt), sd))
     elif n_members > 0:
         combos = []
         if cfg.get("backbones"):
@@ -213,7 +219,8 @@ def load_model(path: str, model_type: Optional[str] = None
                 "ensemble_pretrained",
                 EnsembleDetector(combo,
                                  ensemble_method=cfg.get("ensemble_method",
-                                                         "average")),
+                                                         "average"),
+                                 compute_dtype=cdt),
                 fixed))
     else:
         names = []
@@ -226,7 +233,9 @@ def load_model(path: str, model_type: Optional[str] = None
         names += [n for n in _SINGLE_CANDIDATES if n not in names]
         for name in names:
             canon = canonicalize_detector_keys(sd, name)
-            candidates.append(("pretrained", BackboneDetector(name), canon))
+            candidates.append(("pretrained",
+                               BackboneDetector(name, compute_dtype=cdt),
+                               canon))
 
     # score candidates by shape compatibility, best first
     scored = []

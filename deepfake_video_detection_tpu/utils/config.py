@@ -148,6 +148,9 @@ class ModelConfig:
         eb = env_str("ENSEMBLE_BACKBONES")
         if eb:
             c.ensemble_backbones = tuple(s.strip() for s in eb.split(",") if s.strip())
+        cd = env_str("COMPUTE_DTYPE")
+        if cd:
+            c.compute_dtype = cd.lower()
         return c
 
 

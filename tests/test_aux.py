@@ -153,6 +153,15 @@ def test_rtdb_upload_mirror(tmp_path, monkeypatch):
     assert store.list_uploads("u@x.io") == [
         rec, {"id": "d2", "filename": "w.mp4"}]
 
+    # RTDB recovers: d2's PUT never landed remotely, but the merge keeps it
+    # (local-only ∪ remote), so the record and its result page survive the
+    # outage; remote-only records (another device) are appended too
+    remote["ext"] = {"id": "ext", "filename": "other-device.mp4"}
+    store._http = fake_http
+    assert store.list_uploads("u@x.io") == [
+        rec, {"id": "d2", "filename": "w.mp4"},
+        {"id": "ext", "filename": "other-device.mp4"}]
+
     # no Firebase uid (local-fallback account) → purely local, no HTTP
     store._http = fake_http
     n_calls = len(calls)

@@ -98,3 +98,34 @@ def test_torch_checkpoint_roundtrip_via_loader(tmp_path):
     w1 = np.asarray(v["params"]["fc1"]["weight"])
     w2 = np.asarray(v2["params"]["fc1"]["weight"])
     np.testing.assert_allclose(w1, w2, rtol=1e-6)
+
+
+def test_loader_honors_compute_dtype_env(tmp_path, monkeypatch):
+    """COMPUTE_DTYPE selects the served model's activation dtype (params
+    stay f32); unset on a CPU backend it defaults to float32 so the torch
+    parity tests stay exact, while accelerators default to bfloat16
+    (ModelConfig.compute_dtype)."""
+    import jax.numpy as jnp
+
+    model = BackboneDetector("resnet18")
+    v = model.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "d.npz")
+    save_checkpoint(path, v, meta={"model_type": "pretrained",
+                                   "backbone": "resnet18"})
+
+    monkeypatch.delenv("COMPUTE_DTYPE", raising=False)
+    assert loader.serving_dtype() == jnp.float32  # CPU test backend
+
+    monkeypatch.setenv("COMPUTE_DTYPE", "bf16")
+    m_bf, v_bf, _ = loader.load_model(path)
+    assert m_bf.compute_dtype == jnp.bfloat16
+    # params stay f32 and the forward is finite in bf16
+    leaf = np.asarray(v_bf["params"]["fc1"]["weight"])
+    assert leaf.dtype == np.float32
+    x = jnp.zeros((1, 2, 64, 64, 3), jnp.float32)
+    (logits, _), _ = jax.jit(lambda vv, xx: m_bf.apply(vv, xx))(v_bf, x)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    monkeypatch.setenv("COMPUTE_DTYPE", "float32")
+    m_f32, _, _ = loader.load_model(path)
+    assert m_f32.compute_dtype == jnp.float32

@@ -175,6 +175,17 @@ def test_frame_graph_detector_forward():
     assert logits.shape == (B, 2)
 
 
+def test_frame_graph_detector_compute_dtype_reaches_all_backbones():
+    """--bf16 must not be a silent no-op on any backbone flavor: the
+    clip/dinov2 path goes through build_feature_extractor, which has to
+    forward compute_dtype to the wrapped VisionTransformer."""
+    for flavor in ("timm", "clip", "dinov2"):
+        m = FrameGraphDetector(vit_out=192, vit_variant="vit_tiny_patch16_224",
+                               img_size=32, backbone=flavor,
+                               compute_dtype=jnp.bfloat16)
+        assert m.vit.compute_dtype == jnp.bfloat16, flavor
+
+
 def test_logic_rnn_forward_with_lengths():
     model = LogicRNNLSTM(input_size=32, hidden_size=16, num_layers=2)
     v = model.init(jax.random.key(0))
