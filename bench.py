@@ -351,9 +351,48 @@ def main() -> None:
     }))
 
 
+def _wait_for_backend() -> None:
+    """Block until the default JAX backend initializes, bounded by
+    ``BENCH_BACKEND_WAIT_S`` (default 30 min).
+
+    The TPU relay occasionally goes UNAVAILABLE for a window; a failed
+    init is cached for the life of the process, so the probe runs in a
+    SUBPROCESS and the main process only imports jax after a probe
+    succeeds. On budget exhaustion we fall through and let the real
+    import raise the genuine error.
+    """
+    import subprocess
+    import sys
+
+    budget = float(os.environ.get("BENCH_BACKEND_WAIT_S", 1800))
+    deadline = time.time() + budget
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=max(60.0, min(1500.0, deadline - time.time())),
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            return
+        if time.time() >= deadline:
+            print(f"# backend probe still failing after {attempt} attempts; "
+                  "proceeding (the real init will surface the error)",
+                  file=sys.stderr)
+            return
+        print(f"# backend unavailable (probe attempt {attempt}); retrying",
+              file=sys.stderr)
+        time.sleep(30)
+
+
 if __name__ == "__main__":
     import sys
 
+    _wait_for_backend()
     if "--train" in sys.argv:
         _mi = sys.argv.index("--model") if "--model" in sys.argv else -1
         if _mi >= 0 and _mi + 1 >= len(sys.argv):
