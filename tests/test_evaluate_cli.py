@@ -48,6 +48,21 @@ def test_evaluate_cli_end_to_end(eval_setup, capsys):
     assert {"path", "label", "prob_fake", "pred"} <= set(rows[0])
 
 
+def test_evaluate_cli_bf16(eval_setup):
+    """--bf16 runs the same checkpoint with bfloat16 activations and still
+    produces a full, finite per-file CSV (params stay f32)."""
+    data_dir, ckpt = eval_setup
+    out_csv = os.path.join(data_dir, "evaluation_summary_bf16.csv")
+    rc = main(["--data_dir", data_dir, "--checkpoint", ckpt,
+               "--num_frames", "4", "--batch_size", "4", "--bf16",
+               "--out_csv", out_csv])
+    assert rc == 0
+    with open(out_csv, newline="") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 8
+    assert all(np.isfinite(float(r["prob_fake"])) for r in rows)
+
+
 def test_arch_inference_helpers():
     assert infer_vit_variant_from_state_dict(
         {"vit.cls_token": np.zeros((1, 1, 384))}) == "vit_small_patch16_224"
