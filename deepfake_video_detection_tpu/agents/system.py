@@ -290,7 +290,13 @@ class ActionAgent(Agent):
 
     def _notify_admin(self, result: PredictionResult) -> str:
         if self._notify_fn is not None:
-            return self._notify_fn(result)
+            # injectable hook (≙ WebActionAgent._notify_admin,
+            # ``app.py:1121-1133``): a None return means "not handled" —
+            # fall through to the default admin log, like the reference's
+            # super()._notify_admin() fallback when no phone is configured
+            note = self._notify_fn(result)
+            if note is not None:
+                return note
         note = os.path.join(self.output_dir, "admin_notifications.jsonl")
         with open(note, "a") as f:
             f.write(json.dumps({"video_id": result.video_id,

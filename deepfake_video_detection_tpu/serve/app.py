@@ -42,6 +42,7 @@ import json
 import logging
 import os
 import re
+import threading
 import time
 import uuid
 from http import cookies as _cookies
@@ -213,6 +214,17 @@ def secure_filename(name: str) -> str:
     return name or "upload"
 
 
+def validate_phone(phone: str) -> bool:
+    """E.164-like: optional leading +, 8-15 digits (≙ ``app.py:1093-1100``)."""
+    return bool(phone) and re.fullmatch(r"\+?\d{8,15}", phone) is not None
+
+
+def redact_phone(phone: str) -> Optional[str]:
+    if not phone:
+        return None
+    return f"***{phone[-4:]}" if len(phone) >= 4 else "***"
+
+
 class App:
     def __init__(self, autoload: bool = True, upload_dir: str = "uploads",
                  data_dir: str = "data/app", log_root: str = "logs",
@@ -234,7 +246,13 @@ class App:
         self.decision_agent = DecisionAgent()
         self.monitoring_agent = MonitoringAgent(
             os.path.join(log_root, "agent_monitoring"))
-        self.action_agent = ActionAgent(os.path.join(log_root, "agent_actions"))
+        # CRITICAL alerts notify the requesting user's phone when one is
+        # configured (≙ WebActionAgent, ``app.py:1116-1137``); the phone is
+        # carried per request in a thread-local so concurrent requests
+        # (and background job workers) never see each other's numbers.
+        self._agent_ctx = threading.local()
+        self.action_agent = ActionAgent(os.path.join(log_root, "agent_actions"),
+                                        notify_fn=self._phone_notify)
         self.predictor: Optional[Predictor] = None
         self.last_results: Dict[str, Dict[str, Any]] = {}  # per-user last result
         self.agent_config: Dict[str, Any] = {"enabled": True}
@@ -296,10 +314,34 @@ class App:
 
     # -- inference helpers ------------------------------------------------------
 
+    def _phone_notify(self, result) -> Optional[str]:
+        """CRITICAL-alert hook (≙ ``WebActionAgent._notify_admin``,
+        ``app.py:1121-1133``): log a phone notification for the requesting
+        user when a valid number is configured; None falls back to the
+        ActionAgent's default admin log."""
+        phone = getattr(self._agent_ctx, "phone", None)
+        if not (phone and validate_phone(phone)):
+            return None
+        path = os.path.join(self.action_agent.output_dir,
+                            "notifications.jsonl")
+        entry = {"timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                 "phone": phone,
+                 "message": (f"CRITICAL deepfake alert for {result.video_id} "
+                             f"({result.confidence:.1%}): "
+                             f"{result.explanation}")}
+        with open(path, "a", encoding="utf-8") as f:
+            f.write(json.dumps(entry) + "\n")
+        return f"Notification logged for {phone}"
+
     def _process_saved_files(self, saved: List[Tuple[str, str]],
                              user: Optional[str]) -> List[Dict[str, Any]]:
         """≙ ``_ui_process_saved_files`` (``app.py:164``): predict each file,
         run the web agent pipeline, build message + 200-word justification."""
+        # runs on request AND job-worker threads: resolve the notification
+        # phone from the requesting user's secrets here, where both paths
+        # converge, so the ActionAgent hook sees the right number
+        self._agent_ctx.phone = (
+            self.auth.get_secrets(user).get("phone") if user else None)
         items = []
         for filename, path in saved:
             if self.predictor is None:
@@ -583,11 +625,34 @@ class App:
 
         @self.route("GET", r"/api/agent-config")
         def agent_config_get(req):
-            return Response.json(app.agent_config)
+            # reference contract (``app.py:3063-3068``): logged-in users
+            # also see their notification-phone status, redacted
+            out = dict(app.agent_config)
+            user = app._user(req)
+            if user:
+                phone = app.auth.get_secrets(user).get("phone") or ""
+                out.update({"success": True, "configured": bool(phone),
+                            "redacted_phone": redact_phone(phone)})
+            return Response.json(out)
 
         @self.route("POST", r"/api/agent-config")
         def agent_config_post(req):
             data = req.json()
+            if "notification_phone" in data:
+                # ≙ ``app.py:3070-3081``: validated, stored per user
+                user = app._user(req)
+                if not user:
+                    return Response.json(
+                        {"success": False, "error": "Not authenticated"}, 401)
+                phone = (data.get("notification_phone") or "").strip()
+                if not validate_phone(phone):
+                    return Response.json(
+                        {"success": False,
+                         "error": "Invalid phone number. Use digits with "
+                                  "optional leading + (8-15 digits)."}, 400)
+                app.auth.set_secrets(user, {"phone": phone})
+                return Response.json(
+                    {"success": True, "message": "Notification phone saved"})
             if "enabled" in data:
                 app.agent_config["enabled"] = bool(data["enabled"])
             for k in ("decision_threshold", "abstain_uncertainty_threshold",

@@ -437,10 +437,32 @@ fetch('/api/metrics').then(r => r.json()).then(d => {{
   render();
 }});
 </script>
+<div class="card"><h2>Alerts</h2>
+<p class="muted">CRITICAL deepfake alerts are logged for phone notification
+(≙ the reference's agent settings panel).</p>
+<p><input type="text" id="phone" placeholder="+15551234567">
+<button onclick="savePhone()">Save number</button>
+<span class="muted" id="phstatus"></span></p></div>
 <div class="card"><h2>Chat</h2>
 <div class="chat-log" id="log"></div>
 <p><input type="text" id="msg" placeholder="Ask about your results…">
 <button onclick="send()">Send</button></p></div>
+<script>
+fetch('/api/agent-config').then(r => r.json()).then(d => {{
+  if (d.configured) document.getElementById('phstatus').textContent =
+    'Configured (' + (d.redacted_phone || '***') + ')';
+}});
+async function savePhone() {{
+  const phone = document.getElementById('phone').value.trim();
+  const el = document.getElementById('phstatus');
+  const r = await fetch('/api/agent-config', {{method: 'POST',
+    headers: {{'Content-Type': 'application/json'}},
+    body: JSON.stringify({{notification_phone: phone}})}});
+  const j = await r.json();
+  el.textContent = j.success ? 'Configured (***' + phone.slice(-4) + ')'
+                             : (j.error || 'failed');
+}}
+</script>
 <script>
 async function send() {{
   const m = document.getElementById('msg').value;

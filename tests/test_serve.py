@@ -203,6 +203,67 @@ def test_agent_config_roundtrip(served):
          "application/json")
 
 
+def test_agent_config_notification_phone(served):
+    """Reference contract (app.py:3058-3082 + WebActionAgent :1116-1137):
+    per-user notification phone with validation/redaction, and CRITICAL
+    alerts logged to notifications.jsonl when a phone is configured."""
+    from datetime import datetime
+
+    from deepfake_video_detection_tpu.agents.system import (
+        AlertLevel, PredictionResult)
+    from deepfake_video_detection_tpu.serve.app import validate_phone
+
+    assert validate_phone("+15551234567") and validate_phone("12345678")
+    assert not validate_phone("") and not validate_phone("+1-555")
+    assert not validate_phone("1234567")          # too short
+    assert not validate_phone("1" * 16)           # too long
+
+    app, _, _ = served
+    form = b"email=phone%40example.com&password=hunter22"
+    _, headers, _ = call(app, "POST", "/signup", form,
+                         "application/x-www-form-urlencoded")
+    token = headers["Set-Cookie"].split(";")[0].split("=", 1)[1]
+
+    # unauthenticated phone save → 401; invalid number → 400
+    status, _, _ = call(app, "POST", "/api/agent-config",
+                        json.dumps({"notification_phone": "+15551234567"}
+                                   ).encode(), "application/json")
+    assert status == 401
+    status, _, body = call(app, "POST", "/api/agent-config",
+                           json.dumps({"notification_phone": "nope"}).encode(),
+                           "application/json", cookies={"session": token})
+    assert status == 400 and "Invalid phone" in json.loads(body)["error"]
+
+    status, _, body = call(app, "POST", "/api/agent-config",
+                           json.dumps({"notification_phone": "+15551234567"}
+                                      ).encode(), "application/json",
+                           cookies={"session": token})
+    assert status == 200 and json.loads(body)["success"] is True
+    status, _, body = call(app, "GET", "/api/agent-config",
+                           cookies={"session": token})
+    cfg = json.loads(body)
+    assert cfg["configured"] is True and cfg["redacted_phone"] == "***4567"
+
+    # CRITICAL alert with the phone in request context → phone notification
+    app._process_saved_files([], "phone@example.com")  # resolves ctx phone
+    critical = PredictionResult(
+        video_id="clip.avi", is_fake=True, confidence=0.99,
+        alert_level=AlertLevel.CRITICAL, frame_scores=np.ones(4),
+        timestamp=datetime.now(), explanation="very fake")
+    summary = app.action_agent.process(critical)
+    assert any("Notification logged for +15551234567" in a
+               for a in summary["actions_taken"])
+    notes = os.path.join(app.action_agent.output_dir, "notifications.jsonl")
+    with open(notes) as f:
+        entry = json.loads(f.readlines()[-1])
+    assert entry["phone"] == "+15551234567" and "clip.avi" in entry["message"]
+
+    # no phone in context → default admin log fallback
+    app._process_saved_files([], None)
+    summary = app.action_agent.process(critical)
+    assert any("admin notified" in a for a in summary["actions_taken"])
+
+
 def test_metrics_from_preds_csv(tmp_path):
     d = tmp_path / "ck"
     d.mkdir()
