@@ -333,15 +333,25 @@ class App:
             f.write(json.dumps(entry) + "\n")
         return f"Notification logged for {phone}"
 
+    def _resolve_notify_phone(self, user: Optional[str]) -> Optional[str]:
+        return self.auth.get_secrets(user).get("phone") if user else None
+
     def _process_saved_files(self, saved: List[Tuple[str, str]],
                              user: Optional[str]) -> List[Dict[str, Any]]:
         """≙ ``_ui_process_saved_files`` (``app.py:164``): predict each file,
         run the web agent pipeline, build message + 200-word justification."""
         # runs on request AND job-worker threads: resolve the notification
         # phone from the requesting user's secrets here, where both paths
-        # converge, so the ActionAgent hook sees the right number
-        self._agent_ctx.phone = (
-            self.auth.get_secrets(user).get("phone") if user else None)
+        # converge; ALWAYS clear it on exit so a pooled/reused thread never
+        # leaks one user's number into another request's alerts
+        self._agent_ctx.phone = self._resolve_notify_phone(user)
+        try:
+            return self._process_saved_files_inner(saved, user)
+        finally:
+            self._agent_ctx.phone = None
+
+    def _process_saved_files_inner(self, saved: List[Tuple[str, str]],
+                                   user: Optional[str]) -> List[Dict[str, Any]]:
         items = []
         for filename, path in saved:
             if self.predictor is None:
@@ -638,21 +648,21 @@ class App:
         @self.route("POST", r"/api/agent-config")
         def agent_config_post(req):
             data = req.json()
+            phone = user = None
             if "notification_phone" in data:
-                # ≙ ``app.py:3070-3081``: validated, stored per user
+                # ≙ ``app.py:3070-3081``: validated, stored per user.
+                # Validate BEFORE applying anything so a bad request is
+                # all-or-nothing; str() coerces a JSON-number phone.
                 user = app._user(req)
                 if not user:
                     return Response.json(
                         {"success": False, "error": "Not authenticated"}, 401)
-                phone = (data.get("notification_phone") or "").strip()
+                phone = str(data.get("notification_phone") or "").strip()
                 if not validate_phone(phone):
                     return Response.json(
                         {"success": False,
                          "error": "Invalid phone number. Use digits with "
                                   "optional leading + (8-15 digits)."}, 400)
-                app.auth.set_secrets(user, {"phone": phone})
-                return Response.json(
-                    {"success": True, "message": "Notification phone saved"})
             if "enabled" in data:
                 app.agent_config["enabled"] = bool(data["enabled"])
             for k in ("decision_threshold", "abstain_uncertainty_threshold",
@@ -663,7 +673,12 @@ class App:
                         app.agent_config[k] = float(data[k])
                     except (TypeError, ValueError):
                         pass
-            return Response.json(app.agent_config)
+            out = dict(app.agent_config)
+            if phone is not None:
+                app.auth.set_secrets(user, {"phone": phone})
+                out.update({"success": True,
+                            "message": "Notification phone saved"})
+            return Response.json(out)
 
         # ---- model / metrics API ----
 

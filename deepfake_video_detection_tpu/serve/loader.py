@@ -24,6 +24,7 @@ from __future__ import annotations
 import csv
 import glob as _glob
 import json
+import logging
 import os
 import re
 import urllib.request
@@ -36,6 +37,8 @@ from deepfake_video_detection_tpu.checkpoint.torch_bridge import (
     canonicalize_detector_keys, detect_fake_index, import_into_variables,
     infer_ensemble_count)
 from deepfake_video_detection_tpu.utils.config import env_int, env_str
+
+logger = logging.getLogger(__name__)
 
 LAST_LOAD_STATS: Dict[str, Any] = {}
 
@@ -109,19 +112,27 @@ def _strip_member(sd: Dict[str, np.ndarray], i: int) -> Dict[str, np.ndarray]:
 def serving_dtype():
     """Activation compute dtype for served models (params stay f32).
 
-    ``COMPUTE_DTYPE`` env wins when set (``bfloat16``/``bf16`` or
-    ``float32``/``f32``). Otherwise bfloat16 on accelerators — the
-    TPU-native serving default (``ModelConfig.compute_dtype``) — and
-    float32 on CPU backends, where bf16 is slower and exact-parity
-    numerics (torch cross-checks, CI) matter more than bandwidth.
+    Single source of truth: ``ModelConfig.compute_dtype`` (env override
+    ``COMPUTE_DTYPE``). ``auto`` — the default — resolves to bfloat16 on
+    accelerators and float32 on CPU backends, where bf16 is slower and
+    exact-parity numerics (torch cross-checks, CI) matter more than
+    bandwidth. Unrecognized values fall back to float32 WITH a warning
+    so a typo ('float16', 'bfloat_16') can't silently halve throughput.
     """
     import jax
     import jax.numpy as jnp
 
-    name = (env_str("COMPUTE_DTYPE") or "").lower()
-    if not name:
+    from deepfake_video_detection_tpu.utils.config import ModelConfig
+
+    name = (ModelConfig.from_env().compute_dtype or "auto").lower()
+    if name == "auto":
         name = "bfloat16" if jax.default_backend() != "cpu" else "float32"
-    return jnp.bfloat16 if name in ("bfloat16", "bf16") else jnp.float32
+    if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    if name not in ("float32", "f32"):
+        logger.warning("COMPUTE_DTYPE=%r not supported "
+                       "(bfloat16|float32|auto); serving in float32", name)
+    return jnp.float32
 
 
 def load_model(path: str, model_type: Optional[str] = None

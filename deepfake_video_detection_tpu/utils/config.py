@@ -137,7 +137,9 @@ class ModelConfig:
     num_classes: int = 2
     dropout_rate: float = 0.5
     use_temporal_attention: bool = True
-    compute_dtype: str = "bfloat16"      # TPU-native default; params stay f32
+    compute_dtype: str = "auto"          # auto: bf16 on accelerators, f32 on
+                                         # CPU backends; params stay f32
+                                         # (consumed by serve.loader.serving_dtype)
 
     @classmethod
     def from_env(cls) -> "ModelConfig":

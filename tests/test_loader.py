@@ -100,7 +100,7 @@ def test_torch_checkpoint_roundtrip_via_loader(tmp_path):
     np.testing.assert_allclose(w1, w2, rtol=1e-6)
 
 
-def test_loader_honors_compute_dtype_env(tmp_path, monkeypatch):
+def test_loader_honors_compute_dtype_env(tmp_path, monkeypatch, caplog):
     """COMPUTE_DTYPE selects the served model's activation dtype (params
     stay f32); unset on a CPU backend it defaults to float32 so the torch
     parity tests stay exact, while accelerators default to bfloat16
@@ -129,3 +129,10 @@ def test_loader_honors_compute_dtype_env(tmp_path, monkeypatch):
     monkeypatch.setenv("COMPUTE_DTYPE", "float32")
     m_f32, _, _ = loader.load_model(path)
     assert m_f32.compute_dtype == jnp.float32
+
+    # unsupported value → float32 WITH a warning, never a silent bf16/crash
+    monkeypatch.setenv("COMPUTE_DTYPE", "float16")
+    with caplog.at_level("WARNING",
+                         logger="deepfake_video_detection_tpu.serve.loader"):
+        assert loader.serving_dtype() == jnp.float32
+    assert any("COMPUTE_DTYPE" in r.message for r in caplog.records)

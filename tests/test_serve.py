@@ -244,8 +244,28 @@ def test_agent_config_notification_phone(served):
     cfg = json.loads(body)
     assert cfg["configured"] is True and cfg["redacted_phone"] == "***4567"
 
+    # a JSON-number phone is coerced, not a 500 (client sent digits unquoted)
+    status, _, body = call(app, "POST", "/api/agent-config",
+                           json.dumps({"notification_phone": 15551234567}
+                                      ).encode(), "application/json",
+                           cookies={"session": token})
+    assert status == 200 and json.loads(body)["success"] is True
+
+    # phone + tuning keys in one POST: both applied (no silent discard)
+    status, _, body = call(app, "POST", "/api/agent-config",
+                           json.dumps({"notification_phone": "+15551234567",
+                                       "decision_threshold": 0.61}).encode(),
+                           "application/json", cookies={"session": token})
+    out = json.loads(body)
+    assert out["success"] is True and out["decision_threshold"] == 0.61
+    assert app.enhanced_agent.decision_threshold == 0.61
+    call(app, "POST", "/api/agent-config",
+         json.dumps({"decision_threshold": 0.5}).encode(),
+         "application/json", cookies={"session": token})
+
     # CRITICAL alert with the phone in request context → phone notification
-    app._process_saved_files([], "phone@example.com")  # resolves ctx phone
+    assert app._resolve_notify_phone("phone@example.com") == "+15551234567"
+    app._agent_ctx.phone = app._resolve_notify_phone("phone@example.com")
     critical = PredictionResult(
         video_id="clip.avi", is_fake=True, confidence=0.99,
         alert_level=AlertLevel.CRITICAL, frame_scores=np.ones(4),
@@ -258,8 +278,11 @@ def test_agent_config_notification_phone(served):
         entry = json.loads(f.readlines()[-1])
     assert entry["phone"] == "+15551234567" and "clip.avi" in entry["message"]
 
-    # no phone in context → default admin log fallback
-    app._process_saved_files([], None)
+    # _process_saved_files ALWAYS clears the ctx phone on exit, so a
+    # pooled/reused worker thread can't leak one user's number into a
+    # later anonymous request's alerts
+    app._process_saved_files([], "phone@example.com")
+    assert getattr(app._agent_ctx, "phone", None) is None
     summary = app.action_agent.process(critical)
     assert any("admin notified" in a for a in summary["actions_taken"])
 
