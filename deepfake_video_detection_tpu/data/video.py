@@ -86,6 +86,13 @@ def _get_lib():
         lib.vd_sample_seek_crop.restype = ctypes.c_int
         lib.vd_sample_seek_crop_yuv.argtypes = lib.vd_sample_seek_crop.argtypes
         lib.vd_sample_seek_crop_yuv.restype = ctypes.c_int
+        lib.vd_sample_seek_center.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_char_p,
+            ctypes.c_int]
+        lib.vd_sample_seek_center.restype = ctypes.c_int
+        lib.vd_sample_seek_center_yuv.argtypes = lib.vd_sample_seek_center.argtypes
+        lib.vd_sample_seek_center_yuv.restype = ctypes.c_int
         lib.vd_encode.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
@@ -196,16 +203,14 @@ def sample_video_faces_spread(
     decode work than scanning every keyframe, with full temporal coverage).
     Returns (N, face_size, face_size, 3) uint8."""
     lib = _get_lib()
-    w, h, _, _ = probe_video(path)
-    side = int(min(w, h) * (1.0 - margin))
-    x0 = (w - side) // 2
-    y0 = (h - side) // 2
+    # center-square crop is computed INSIDE the decoder from the stream
+    # dims (margin as ppm) — one container open per clip, no probe pass
     out = np.empty((n_frames, face_size, face_size, 3), np.uint8)
     err = ctypes.create_string_buffer(256)
-    n = lib.vd_sample_seek_crop(path.encode(), int(n_frames), x0, y0, side,
-                                side, face_size, face_size,
-                                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                                err, 256)
+    n = lib.vd_sample_seek_center(
+        path.encode(), int(n_frames), int(margin * 1_000_000), face_size,
+        face_size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        err, 256)
     if n < 0:
         raise VideoDecodeError(f"{path}: {err.value.decode(errors='replace')}")
     return out[:n]
@@ -224,15 +229,11 @@ def sample_video_faces_spread_yuv(
     bottleneck; the colorspace matrix fuses into normalization on chip)."""
     assert face_size % 2 == 0, "yuv420 needs an even face size"
     lib = _get_lib()
-    w, h, _, _ = probe_video(path)
-    side = int(min(w, h) * (1.0 - margin))
-    x0 = (w - side) // 2
-    y0 = (h - side) // 2
     frame_bytes = face_size * face_size * 3 // 2
     out = np.empty((n_frames, frame_bytes), np.uint8)
     err = ctypes.create_string_buffer(256)
-    n = lib.vd_sample_seek_crop_yuv(
-        path.encode(), int(n_frames), x0, y0, side, side, face_size,
+    n = lib.vd_sample_seek_center_yuv(
+        path.encode(), int(n_frames), int(margin * 1_000_000), face_size,
         face_size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         err, 256)
     if n < 0:

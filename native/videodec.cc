@@ -297,9 +297,14 @@ namespace {
 //       out_w*out_h*3/2. HALF the bytes of RGB24 — built for hosts where
 //       the host→device link is the serving bottleneck; the YUV→RGB
 //       matrix runs on device where it fuses into normalization.
+// center_margin_ppm >= 0: ignore crop_x/y/w/h and crop the centered square
+// of side min(W,H)*(1e6-ppm)/1e6 — computed HERE from the opened stream's
+// dimensions, so callers skip a separate probe open (one open per clip
+// instead of two; ~8% of the per-clip host cost at serving shapes).
 int seek_sample_impl(const char* path, int n_frames, int crop_x, int crop_y,
                      int crop_w, int crop_h, int out_w, int out_h,
-                     int yuv_out, uint8_t* out, char* err, int errlen) {
+                     int yuv_out, int center_margin_ppm, uint8_t* out,
+                     char* err, int errlen) {
   if (n_frames < 1) n_frames = 1;
   if (yuv_out && ((out_w | out_h) & 1)) {
     snprintf(err, errlen, "yuv output size must be even");
@@ -323,6 +328,14 @@ int seek_sample_impl(const char* path, int n_frames, int crop_x, int crop_y,
   bool seekable = dur > 0;
 
   const int W = c->dec->width, H = c->dec->height;
+  if (center_margin_ppm >= 0) {
+    const int side =
+        (int)((int64_t)std::min(W, H) * (1000000 - center_margin_ppm) /
+              1000000);
+    crop_w = crop_h = std::max(2, side);
+    crop_x = (W - crop_w) / 2;
+    crop_y = (H - crop_h) / 2;
+  }
   if (crop_w <= 0 || crop_h <= 0) {
     crop_x = crop_y = 0;
     crop_w = W;
@@ -452,7 +465,8 @@ int vd_sample_seek_crop(const char* path, int n_frames, int crop_x,
                         int crop_y, int crop_w, int crop_h, int out_w,
                         int out_h, uint8_t* out, char* err, int errlen) {
   return seek_sample_impl(path, n_frames, crop_x, crop_y, crop_w, crop_h,
-                          out_w, out_h, /*yuv_out=*/0, out, err, errlen);
+                          out_w, out_h, /*yuv_out=*/0,
+                          /*center_margin_ppm=*/-1, out, err, errlen);
 }
 
 // Same sampler, planar YUV420P output (Y, U, V per frame; U/V are
@@ -463,7 +477,25 @@ int vd_sample_seek_crop_yuv(const char* path, int n_frames, int crop_x,
                             int crop_y, int crop_w, int crop_h, int out_w,
                             int out_h, uint8_t* out, char* err, int errlen) {
   return seek_sample_impl(path, n_frames, crop_x, crop_y, crop_w, crop_h,
-                          out_w, out_h, /*yuv_out=*/1, out, err, errlen);
+                          out_w, out_h, /*yuv_out=*/1,
+                          /*center_margin_ppm=*/-1, out, err, errlen);
+}
+
+// Seek sampler with the centered-square crop computed in-decoder from the
+// stream's own dimensions (margin in parts-per-million of min(W,H)):
+// saves the caller's separate probe open — one container open per clip.
+int vd_sample_seek_center(const char* path, int n_frames, int margin_ppm,
+                          int out_w, int out_h, uint8_t* out, char* err,
+                          int errlen) {
+  return seek_sample_impl(path, n_frames, 0, 0, 0, 0, out_w, out_h,
+                          /*yuv_out=*/0, margin_ppm, out, err, errlen);
+}
+
+int vd_sample_seek_center_yuv(const char* path, int n_frames, int margin_ppm,
+                              int out_w, int out_h, uint8_t* out, char* err,
+                              int errlen) {
+  return seek_sample_impl(path, n_frames, 0, 0, 0, 0, out_w, out_h,
+                          /*yuv_out=*/1, margin_ppm, out, err, errlen);
 }
 
 // Test/fixture encoder: write `n` RGB24 frames (packed in `rgb`) as an

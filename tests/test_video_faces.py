@@ -249,6 +249,36 @@ def test_seek_spread_sampling(tmp_path):
     assert means[-1] - means[0] > 100, f"not spread over the clip: {means}"
 
 
+def test_center_export_matches_explicit_crop(tmp_path):
+    """The in-decoder centered-square crop (margin as ppm, no probe pass)
+    must produce the same pixels as the explicit crop box the Python side
+    used to compute from a separate probe_video() open."""
+    import ctypes
+
+    from deepfake_video_detection_tpu.data.video import (
+        _get_lib, probe_video, sample_video_faces_spread)
+
+    path = str(tmp_path / "grad.avi")
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (40, 48, 80, 3)).astype(np.uint8)
+    encode_video(path, frames, fps=25)
+
+    out_center = sample_video_faces_spread(path, face_size=32, n_frames=4,
+                                           margin=0.1)
+    # legacy route: probe, compute the box in Python, call the crop export
+    lib = _get_lib()
+    w, h, _, _ = probe_video(path)
+    side = int(min(w, h) * (1.0 - 0.1))
+    x0, y0 = (w - side) // 2, (h - side) // 2
+    out_crop = np.empty((4, 32, 32, 3), np.uint8)
+    err = ctypes.create_string_buffer(256)
+    n = lib.vd_sample_seek_crop(
+        path.encode(), 4, x0, y0, side, side, 32, 32,
+        out_crop.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), err, 256)
+    assert n == 4
+    np.testing.assert_array_equal(out_center, out_crop)
+
+
 def test_seek_yuv_matches_rgb(tmp_path):
     """Packed YUV420 + on-device conversion ≈ the native RGB24 decode
     (same seek sampler, half the transfer bytes)."""
