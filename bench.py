@@ -272,19 +272,21 @@ def main() -> None:
         return jax.nn.softmax(logits, axis=-1), frame_scores
 
     extractor = FaceExtractor(detector="center", face_size=FACE)
+    frame_bytes = FACE * FACE * 3 // 2
 
-    def decode_and_extract(path: str) -> np.ndarray:
+    def decode_into(path: str, slot: np.ndarray) -> None:
         # seek-based sampling: exactly T keyframes, evenly spread — one seek
         # + one intra-frame decode per sample, crop+resize+YUV pack inside
-        # the C++ worker (GIL-free). ~3× less host decode than scanning.
-        faces = extractor.extract_from_video_yuv(path, max_frames=T)
-        if faces.shape[0] < T:  # repeat-pad short clips to the static shape
-            pad = np.repeat(faces[-1:], T - faces.shape[0], axis=0)
-            faces = np.concatenate([faces, pad])
-        return faces
+        # the C++ worker (GIL-free), written STRAIGHT into the batch slot so
+        # the main thread never copies (no per-clip alloc, no np.stack).
+        n = extractor.extract_from_video_yuv(path, max_frames=T,
+                                             out=slot).shape[0]
+        if n < T:  # repeat-pad short clips to the static shape, in place
+            slot[n:] = slot[n - 1] if n else 0
 
     # warm everything: decoder .so build, crop/resize jit, model compile
-    warm = decode_and_extract(paths[0])
+    warm = np.empty((T, frame_bytes), np.uint8)
+    decode_into(paths[0], warm)
     batch0 = np.stack([warm] * BATCH)
     _ = np.asarray(jfn(variables, jax.device_put(batch0))[0]).sum()
 
@@ -298,10 +300,18 @@ def main() -> None:
         import collections
 
         t0 = time.perf_counter()
+        n_batches = (len(paths) + BATCH - 1) // BATCH
+        # fresh buffers each run: device_put holds the array async, so
+        # reuse across runs could race; np.empty is lazy (first touch is
+        # the GIL-free decoder write)
+        bufs = [np.empty((BATCH, T, frame_bytes), np.uint8)
+                for _ in range(n_batches)]
         with _fut.ThreadPoolExecutor(decode_workers) as dec_pool, \
                 _fut.ThreadPoolExecutor(3) as xfer_pool:
-            futures = [dec_pool.submit(decode_and_extract, p) for p in paths]
-            pending, outs = [], []
+            futs = [[dec_pool.submit(decode_into, p, bufs[b][i])
+                     for i, p in enumerate(paths[b * BATCH:(b + 1) * BATCH])]
+                    for b in range(n_batches)]
+            outs = []
             uploads: collections.deque = collections.deque()
 
             def flush_ready():
@@ -312,18 +322,15 @@ def main() -> None:
                 while uploads and uploads[0].done():
                     outs.append(jfn(variables, uploads.popleft().result()))
 
-            for f in futures:
-                pending.append(f.result())
-                if len(pending) == BATCH:
-                    uploads.append(xfer_pool.submit(
-                        jax.device_put, np.stack(pending)))
-                    pending = []
+            for b in range(n_batches):
+                for f in futs[b]:
+                    f.result()
+                    flush_ready()
+                k = len(futs[b])
+                if k < BATCH:  # tail batch: repeat-pad the unused slots
+                    bufs[b][k:] = bufs[b][k - 1]
+                uploads.append(xfer_pool.submit(jax.device_put, bufs[b]))
                 flush_ready()
-            if pending:
-                while len(pending) < BATCH:
-                    pending.append(pending[-1])
-                uploads.append(xfer_pool.submit(
-                    jax.device_put, np.stack(pending)))
             while uploads:  # drain remaining uploads in order
                 outs.append(jfn(variables, uploads.popleft().result()))
             # hard sync: fetch a scalar from every step — concurrently, so

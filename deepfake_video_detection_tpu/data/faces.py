@@ -322,11 +322,16 @@ class FaceExtractor:
         return self.extract_from_frames(frames)
 
     def extract_from_video_yuv(self, path: str,
-                               max_frames: Optional[int] = None) -> np.ndarray:
+                               max_frames: Optional[int] = None,
+                               out: Optional[np.ndarray] = None) -> np.ndarray:
         """Transfer-optimal serving path (center detector only): seek-sampled
         face crops as PACKED planar YUV420, (N, face_size²·3/2) uint8 — half
         the host→device bytes of RGB. Decode on device with
-        ``ops.yuv.yuv420_packed_to_rgb``."""
+        ``ops.yuv.yuv420_packed_to_rgb``.
+
+        ``out``: optional preallocated (max_frames, face_size²·3/2) uint8
+        slot (e.g. a view into a batch buffer) — the decode writes in place
+        so batch assembly needs no ``np.stack`` copy on the hot thread."""
         if self.detector != "center":
             raise ValueError("YUV fast path requires detector='center' "
                              f"(got {self.detector!r})")
@@ -337,4 +342,4 @@ class FaceExtractor:
             max_frames = max(1, min(_env_int("MAX_FRAMES", 8), 64))
         return sample_video_faces_spread_yuv(
             path, face_size=self.face_size, n_frames=max_frames,
-            margin=self.margin)
+            margin=self.margin, out=out)

@@ -221,16 +221,25 @@ def sample_video_faces_spread_yuv(
     face_size: int = 224,
     n_frames: int = 8,
     margin: float = 0.1,
+    out: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Like :func:`sample_video_faces_spread` but returns PACKED planar
     YUV420 — (N, face_size*face_size*3//2) uint8, Y then U then V per frame,
     HALF the bytes of RGB. Convert on device with
     ``ops.yuv.yuv420_packed_to_rgb`` (the host→device link is the serving
-    bottleneck; the colorspace matrix fuses into normalization on chip)."""
+    bottleneck; the colorspace matrix fuses into normalization on chip).
+
+    ``out`` may supply a preallocated C-contiguous (n_frames, frame_bytes)
+    uint8 buffer — e.g. one slot of a larger batch array — so decode workers
+    write the batch in place and the caller skips the ``np.stack`` copy."""
     assert face_size % 2 == 0, "yuv420 needs an even face size"
     lib = _get_lib()
     frame_bytes = face_size * face_size * 3 // 2
-    out = np.empty((n_frames, frame_bytes), np.uint8)
+    if out is None:
+        out = np.empty((n_frames, frame_bytes), np.uint8)
+    else:
+        assert (out.dtype == np.uint8 and out.shape == (n_frames, frame_bytes)
+                and out.flags.c_contiguous), "bad caller-supplied buffer"
     err = ctypes.create_string_buffer(256)
     n = lib.vd_sample_seek_center_yuv(
         path.encode(), int(n_frames), int(margin * 1_000_000), face_size,

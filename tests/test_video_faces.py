@@ -318,6 +318,22 @@ def test_extract_from_video_yuv_api(test_video):
         ex_mtcnn.extract_from_video_yuv(test_video)
 
 
+def test_extract_from_video_yuv_into_batch_slot(test_video):
+    """The zero-copy path: decoding into a view of a batch buffer must
+    produce the same bytes as the allocating path (bench/serving skip the
+    per-batch np.stack by letting decode workers write slots in place)."""
+    ex = FaceExtractor(detector="center", face_size=32)
+    ref = ex.extract_from_video_yuv(test_video, max_frames=3)
+    batch = np.zeros((2, 3, 32 * 32 * 3 // 2), np.uint8)
+    got = ex.extract_from_video_yuv(test_video, max_frames=3, out=batch[1])
+    np.testing.assert_array_equal(ref, got)
+    np.testing.assert_array_equal(ref, batch[1][: ref.shape[0]])
+    assert not batch[0].any()  # neighbouring slot untouched
+    with pytest.raises(AssertionError):  # wrong-shape caller buffer rejected
+        ex.extract_from_video_yuv(test_video, max_frames=3,
+                                  out=np.zeros((4, 9), np.uint8))
+
+
 def test_extract_spread_covers_whole_clip(tmp_path):
     """spread=True must sample the WHOLE clip on every detector path (the
     long-video scan depends on it); the default scan path only reads the
