@@ -52,11 +52,15 @@ def _env_int(name: str, default: int) -> int:
 def center_square_boxes(n: int, height: int, width: int,
                         margin: float = 0.1) -> np.ndarray:
     """Center square with ``margin`` shaved off each side — the weight-free
-    face prior for face-framed footage. Returns (n, 4) xyxy."""
-    side = min(height, width) * (1.0 - margin)
-    cx, cy = width / 2.0, height / 2.0
-    box = np.array([cx - side / 2, cy - side / 2, cx + side / 2, cy + side / 2],
-                   np.float32)
+    face prior for face-framed footage. Returns (n, 4) xyxy.
+
+    Uses the same integer box math as the in-decoder center crop
+    (``data.video.center_crop_box``) so the frames path and the
+    decode-from-video path crop the IDENTICAL box for any margin."""
+    from deepfake_video_detection_tpu.data.video import center_crop_box
+
+    x0, y0, side = center_crop_box(width, height, margin)
+    box = np.array([x0, y0, x0 + side, y0 + side], np.float32)
     return np.tile(box, (n, 1))
 
 

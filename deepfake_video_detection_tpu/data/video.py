@@ -163,6 +163,25 @@ def sample_video_frames(
     return out[:n]
 
 
+def _margin_ppm(margin: float) -> int:
+    """Margin as parts-per-million of min(W,H) — the in-decoder crop's
+    integer representation. round() (not truncation) so e.g. 0.07 → 70000
+    exactly despite float representation error."""
+    return int(round(margin * 1_000_000))
+
+
+def center_crop_box(width: int, height: int, margin: float = 0.1):
+    """Centered-square crop box via the SAME integer math as the in-decoder
+    center crop (``native/videodec.cc:seek_sample_impl``), so the explicit
+    probe-then-crop route and the one-open center route produce identical
+    pixels for EVERY margin, not just values where the legacy float formula
+    happens to agree. Returns ``(x0, y0, side)``; negative margins enlarge
+    the square (callers/the decoder clamp to frame bounds)."""
+    side = max(2, min(width, height) * (1_000_000 - _margin_ppm(margin))
+               // 1_000_000)
+    return (width - side) // 2, (height - side) // 2, side
+
+
 def sample_video_faces_center(
     path: str,
     face_size: int = 224,
@@ -176,9 +195,7 @@ def sample_video_faces_center(
     per-frame work). Returns (N, face_size, face_size, 3) uint8."""
     lib = _get_lib()
     w, h, _, _ = probe_video(path)
-    side = int(min(w, h) * (1.0 - margin))
-    x0 = (w - side) // 2
-    y0 = (h - side) // 2
+    x0, y0, side = center_crop_box(w, h, margin)
     out = np.empty((max_frames, face_size, face_size, 3), np.uint8)
     err = ctypes.create_string_buffer(256)
     n = lib.vd_sample_crop(path.encode(), int(sample_rate), int(max_frames),
@@ -208,7 +225,7 @@ def sample_video_faces_spread(
     out = np.empty((n_frames, face_size, face_size, 3), np.uint8)
     err = ctypes.create_string_buffer(256)
     n = lib.vd_sample_seek_center(
-        path.encode(), int(n_frames), int(margin * 1_000_000), face_size,
+        path.encode(), int(n_frames), _margin_ppm(margin), face_size,
         face_size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         err, 256)
     if n < 0:
@@ -237,12 +254,17 @@ def sample_video_faces_spread_yuv(
     frame_bytes = face_size * face_size * 3 // 2
     if out is None:
         out = np.empty((n_frames, frame_bytes), np.uint8)
-    else:
-        assert (out.dtype == np.uint8 and out.shape == (n_frames, frame_bytes)
-                and out.flags.c_contiguous), "bad caller-supplied buffer"
+    elif (out.dtype != np.uint8 or out.shape != (n_frames, frame_bytes)
+          or not out.flags.c_contiguous):
+        # a hard error, not an assert: the C decoder writes
+        # n_frames*frame_bytes raw bytes through this pointer, so a wrong
+        # buffer under `python -O` would be silent heap corruption
+        raise ValueError(
+            "out buffer must be C-contiguous uint8 of shape "
+            f"{(n_frames, frame_bytes)}; got {out.dtype} {out.shape}")
     err = ctypes.create_string_buffer(256)
     n = lib.vd_sample_seek_center_yuv(
-        path.encode(), int(n_frames), int(margin * 1_000_000), face_size,
+        path.encode(), int(n_frames), _margin_ppm(margin), face_size,
         face_size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         err, 256)
     if n < 0:

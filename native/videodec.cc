@@ -23,6 +23,7 @@ extern "C" {
 }
 
 #include <algorithm>
+#include <climits>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -297,10 +298,14 @@ namespace {
 //       out_w*out_h*3/2. HALF the bytes of RGB24 — built for hosts where
 //       the host→device link is the serving bottleneck; the YUV→RGB
 //       matrix runs on device where it fuses into normalization.
-// center_margin_ppm >= 0: ignore crop_x/y/w/h and crop the centered square
-// of side min(W,H)*(1e6-ppm)/1e6 — computed HERE from the opened stream's
-// dimensions, so callers skip a separate probe open (one open per clip
-// instead of two; ~8% of the per-clip host cost at serving shapes).
+// center_margin_ppm != kNoCenterCrop: ignore crop_x/y/w/h and crop the
+// centered square of side min(W,H)*(1e6-ppm)/1e6 — computed HERE from the
+// opened stream's dimensions, so callers skip a separate probe open (one
+// open per clip instead of two; ~8% of the per-clip host cost at serving
+// shapes). Negative ppm ENLARGES the square (margin < 0 is the caller's
+// margin-expansion convention); the box is then clamped to the frame
+// bounds below exactly like an explicit out-of-bounds crop.
+static const int kNoCenterCrop = INT_MIN;
 int seek_sample_impl(const char* path, int n_frames, int crop_x, int crop_y,
                      int crop_w, int crop_h, int out_w, int out_h,
                      int yuv_out, int center_margin_ppm, uint8_t* out,
@@ -328,9 +333,9 @@ int seek_sample_impl(const char* path, int n_frames, int crop_x, int crop_y,
   bool seekable = dur > 0;
 
   const int W = c->dec->width, H = c->dec->height;
-  if (center_margin_ppm >= 0) {
+  if (center_margin_ppm != kNoCenterCrop) {
     const int side =
-        (int)((int64_t)std::min(W, H) * (1000000 - center_margin_ppm) /
+        (int)((int64_t)std::min(W, H) * (1000000 - (int64_t)center_margin_ppm) /
               1000000);
     crop_w = crop_h = std::max(2, side);
     crop_x = (W - crop_w) / 2;
@@ -465,8 +470,8 @@ int vd_sample_seek_crop(const char* path, int n_frames, int crop_x,
                         int crop_y, int crop_w, int crop_h, int out_w,
                         int out_h, uint8_t* out, char* err, int errlen) {
   return seek_sample_impl(path, n_frames, crop_x, crop_y, crop_w, crop_h,
-                          out_w, out_h, /*yuv_out=*/0,
-                          /*center_margin_ppm=*/-1, out, err, errlen);
+                          out_w, out_h, /*yuv_out=*/0, kNoCenterCrop, out,
+                          err, errlen);
 }
 
 // Same sampler, planar YUV420P output (Y, U, V per frame; U/V are
@@ -477,8 +482,8 @@ int vd_sample_seek_crop_yuv(const char* path, int n_frames, int crop_x,
                             int crop_y, int crop_w, int crop_h, int out_w,
                             int out_h, uint8_t* out, char* err, int errlen) {
   return seek_sample_impl(path, n_frames, crop_x, crop_y, crop_w, crop_h,
-                          out_w, out_h, /*yuv_out=*/1,
-                          /*center_margin_ppm=*/-1, out, err, errlen);
+                          out_w, out_h, /*yuv_out=*/1, kNoCenterCrop, out,
+                          err, errlen);
 }
 
 // Seek sampler with the centered-square crop computed in-decoder from the

@@ -249,14 +249,18 @@ def test_seek_spread_sampling(tmp_path):
     assert means[-1] - means[0] > 100, f"not spread over the clip: {means}"
 
 
-def test_center_export_matches_explicit_crop(tmp_path):
+@pytest.mark.parametrize("margin", [0.0, 0.07, 0.1, 0.3, -0.1])
+def test_center_export_matches_explicit_crop(tmp_path, margin):
     """The in-decoder centered-square crop (margin as ppm, no probe pass)
-    must produce the same pixels as the explicit crop box the Python side
-    used to compute from a separate probe_video() open."""
+    must produce the same pixels as the explicit probe-then-crop route for
+    EVERY margin — including 0.07 (where the old float `int(min*(1-m))`
+    formula disagreed with the integer ppm math by 1 px) and a negative
+    margin (enlarged square, clamped to the frame like any explicit
+    out-of-bounds crop box)."""
     import ctypes
 
     from deepfake_video_detection_tpu.data.video import (
-        _get_lib, probe_video, sample_video_faces_spread)
+        _get_lib, center_crop_box, probe_video, sample_video_faces_spread)
 
     path = str(tmp_path / "grad.avi")
     rng = np.random.default_rng(0)
@@ -264,12 +268,11 @@ def test_center_export_matches_explicit_crop(tmp_path):
     encode_video(path, frames, fps=25)
 
     out_center = sample_video_faces_spread(path, face_size=32, n_frames=4,
-                                           margin=0.1)
-    # legacy route: probe, compute the box in Python, call the crop export
+                                           margin=margin)
+    # explicit route: probe, compute the box in Python, call the crop export
     lib = _get_lib()
     w, h, _, _ = probe_video(path)
-    side = int(min(w, h) * (1.0 - 0.1))
-    x0, y0 = (w - side) // 2, (h - side) // 2
+    x0, y0, side = center_crop_box(w, h, margin)
     out_crop = np.empty((4, 32, 32, 3), np.uint8)
     err = ctypes.create_string_buffer(256)
     n = lib.vd_sample_seek_crop(
@@ -329,9 +332,13 @@ def test_extract_from_video_yuv_into_batch_slot(test_video):
     np.testing.assert_array_equal(ref, got)
     np.testing.assert_array_equal(ref, batch[1][: ref.shape[0]])
     assert not batch[0].any()  # neighbouring slot untouched
-    with pytest.raises(AssertionError):  # wrong-shape caller buffer rejected
+    with pytest.raises(ValueError):  # wrong-shape caller buffer rejected
         ex.extract_from_video_yuv(test_video, max_frames=3,
                                   out=np.zeros((4, 9), np.uint8))
+    with pytest.raises(ValueError):  # non-contiguous view rejected
+        ex.extract_from_video_yuv(
+            test_video, max_frames=3,
+            out=np.zeros((3, 2 * 32 * 32 * 3 // 2), np.uint8)[:, ::2])
 
 
 def test_extract_spread_covers_whole_clip(tmp_path):
