@@ -36,6 +36,7 @@ from deepfake_video_detection_tpu.checkpoint.store import load_any
 from deepfake_video_detection_tpu.checkpoint.torch_bridge import (
     canonicalize_detector_keys, detect_fake_index, import_into_variables,
     infer_ensemble_count)
+from deepfake_video_detection_tpu.nn.quant import quantize_variables
 from deepfake_video_detection_tpu.utils.config import env_int, env_str
 
 logger = logging.getLogger(__name__)
@@ -133,6 +134,23 @@ def serving_dtype():
         logger.warning("COMPUTE_DTYPE=%r not supported "
                        "(bfloat16|float32|auto); serving in float32", name)
     return jnp.float32
+
+
+def _quantize_mode() -> str:
+    """Weight-at-rest quantization mode (``QUANTIZE`` env via ModelConfig).
+    ``int8`` → serve matmul/conv weights as int8 + per-channel scales
+    (nn/quant.py; beyond reference parity). Unknown values warn + disable
+    rather than silently serving different numerics than configured."""
+    from deepfake_video_detection_tpu.utils.config import ModelConfig
+
+    mode = (ModelConfig.from_env().quantize or "none").lower()
+    if mode in ("", "none", "0", "false", "off"):
+        return "none"
+    if mode != "int8":
+        logger.warning("QUANTIZE=%r not supported (int8|none); "
+                       "serving unquantized", mode)
+        return "none"
+    return mode
 
 
 def load_model(path: str, model_type: Optional[str] = None
@@ -263,6 +281,14 @@ def load_model(path: str, model_type: Optional[str] = None
         template = model.init(jax.random.PRNGKey(0))
         variables, report = import_into_variables(csd, template, strict=False)
         if report["match_ratio"] >= 0.80:
+            n_quant = 0
+            if _quantize_mode() == "int8":
+                # weights at rest → int8 + per-out-channel scales; XLA fuses
+                # the dequant into each matmul/conv read (nn/quant.py).
+                # Post-load so every checkpoint format gets it for free.
+                variables, n_quant = quantize_variables(variables)
+                logger.info("QUANTIZE=int8: %d weight tensors quantized",
+                            n_quant)
             stats = {
                 "path": path, "model_type": mtype,
                 "match_ratio": report["match_ratio"],
@@ -274,6 +300,7 @@ def load_model(path: str, model_type: Optional[str] = None
                 "compat_score": score,
                 "backbones": getattr(model, "backbone_names",
                                      getattr(model, "backbone_name", None)),
+                "quantized_weights": n_quant,
             }
             LAST_LOAD_STATS.clear()
             LAST_LOAD_STATS.update(stats)

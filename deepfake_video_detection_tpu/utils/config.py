@@ -140,6 +140,9 @@ class ModelConfig:
     compute_dtype: str = "auto"          # auto: bf16 on accelerators, f32 on
                                          # CPU backends; params stay f32
                                          # (consumed by serve.loader.serving_dtype)
+    quantize: str = "none"               # none | int8 — int8 stores matmul/conv
+                                         # weights at rest as int8 + per-channel
+                                         # scales (nn/quant.py, serving only)
 
     @classmethod
     def from_env(cls) -> "ModelConfig":
@@ -153,6 +156,9 @@ class ModelConfig:
         cd = env_str("COMPUTE_DTYPE")
         if cd:
             c.compute_dtype = cd.lower()
+        qz = env_str("QUANTIZE")
+        if qz:
+            c.quantize = qz.lower()
         return c
 
 
