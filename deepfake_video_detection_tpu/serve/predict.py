@@ -60,6 +60,44 @@ def _detection_threshold(default: float) -> float:
     return env_float("DETECT_FAKE_THRESHOLD", default)
 
 
+def make_forward_fns(model: Any, is_ensemble: bool, face_size: int):
+    """The serving forward for the pretrained/ensemble/temporal family, as
+    pure functions of ``(variables, input)`` — shared by :class:`Predictor`
+    (which jits them, optionally DP-sharded) and ``tools/export_serving.py``
+    (which AOT-exports them to a StableHLO artifact).
+
+    Returns ``(fwd, fwd_yuv)``; both map to
+    ``(probs, logits, frame_scores, member_logits)``. ``fwd`` takes uint8
+    RGB frames (B, T, H, W, 3); ``fwd_yuv`` takes packed YUV420 crops
+    (B, T, face_size*face_size*3//2) — half the host→device bytes, the
+    single-chip serving bottleneck (docs/performance.md); the colorspace
+    matrix fuses into normalize + the backbone stem on device."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepfake_video_detection_tpu.data.normalize import imagenet_normalize
+    from deepfake_video_detection_tpu.ops.yuv import yuv420_packed_to_rgb
+
+    def head(v, x):
+        if is_ensemble:
+            (logits, scores, member_logits), _ = model.apply(
+                v, x, train=False, return_member_logits=True)
+        else:
+            (logits, scores), _ = model.apply(v, x, train=False)
+            member_logits = None
+        return (jax.nn.softmax(logits.astype(jnp.float32), axis=-1),
+                logits, scores, member_logits)
+
+    def fwd(v, frames_u8):
+        return head(v, imagenet_normalize(frames_u8))
+
+    def fwd_yuv(v, packed_u8):
+        rgb = yuv420_packed_to_rgb(packed_u8, face_size, face_size)
+        return head(v, imagenet_normalize(rgb / 255.0, scaled=True))
+
+    return fwd, fwd_yuv
+
+
 class Predictor:
     """Holds the loaded model + jitted forwards; thread-safe for reads."""
 
@@ -69,8 +107,6 @@ class Predictor:
                  extractor: Optional[FaceExtractor] = None):
         import jax
         import jax.numpy as jnp
-
-        from deepfake_video_detection_tpu.data.normalize import imagenet_normalize
 
         self.model = model
         self.model_type = model_type
@@ -82,31 +118,8 @@ class Predictor:
         is_ensemble = model_type == "ensemble_pretrained" or hasattr(model, "members")
 
         if model_type in ("pretrained", "ensemble_pretrained", "temporal"):
-            def head(v, x):
-                if is_ensemble:
-                    (logits, scores, member_logits), _ = self.model.apply(
-                        v, x, train=False, return_member_logits=True)
-                else:
-                    (logits, scores), _ = self.model.apply(v, x, train=False)
-                    member_logits = None
-                return (jax.nn.softmax(logits.astype(jnp.float32), axis=-1),
-                        logits, scores, member_logits)
-
-            def fwd_impl(v, frames_u8):
-                return head(v, imagenet_normalize(frames_u8))
-
-            # transfer-optimal variant: the host ships packed YUV420 face
-            # crops (half the bytes — the host→device link is the single-chip
-            # serving bottleneck, docs/performance.md); the colorspace matrix
-            # fuses into normalize + the backbone stem on device.
             size = self.extractor.face_size
-
-            def fwd_yuv_impl(v, packed_u8):
-                from deepfake_video_detection_tpu.ops.yuv import (
-                    yuv420_packed_to_rgb)
-
-                rgb = yuv420_packed_to_rgb(packed_u8, size, size)
-                return head(v, imagenet_normalize(rgb / 255.0, scaled=True))
+            fwd_impl, fwd_yuv_impl = make_forward_fns(model, is_ensemble, size)
 
             # serving data-parallelism: with more than one chip (and
             # micro-batching on, which guarantees mesh-divisible batches),
@@ -172,12 +185,18 @@ class Predictor:
         # configured shape in a background thread so the FIRST user request
         # doesn't pay the jit cost (minutes for a real backbone on a cold
         # cache). Runs after __init__ returns; failures are non-fatal.
+        import threading
+
+        # set when the background warmup finishes (immediately if disabled)
+        # — a deterministic completion signal for tests/operators instead of
+        # polling the compile-call stream for quiescence
+        self.warmup_done = threading.Event()
         if env_bool("SERVE_WARMUP", True) and model_type in (
                 "pretrained", "ensemble_pretrained", "temporal"):
-            import threading
-
             threading.Thread(target=self.warmup, name="predictor-warmup",
                              daemon=True).start()
+        else:
+            self.warmup_done.set()
 
     def warmup(self) -> None:
         """Compile-and-run the production forward on a dummy batch."""
@@ -214,6 +233,8 @@ class Predictor:
                 jax.block_until_ready(out[0])
         except Exception:  # warmup must never take the server down
             pass
+        finally:
+            self.warmup_done.set()
 
     # ------------------------------------------------------------------
 

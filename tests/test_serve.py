@@ -467,26 +467,20 @@ def test_predictor_warmup_compiles_serving_forward(monkeypatch):
     model = StubDetector()
     pred = Predictor(model, model.init(None), "pretrained",
                      extractor=FaceExtractor(detector="center", face_size=16))
-    for _ in range(100):  # background thread: wait briefly
-        if calls:
-            break
-        time.sleep(0.05)
+    # deterministic completion signal (quiescence-polling was flaky under
+    # CPU contention: a stalled warmup thread looked "done" after one bucket)
+    assert pred.warmup_done.wait(timeout=120)
     assert calls and calls[0][1:] == (4, 16, 16, 3), calls
-    # r3: warmup also pre-compiles the power-of-two micro-batch buckets —
-    # wait for the thread to go quiet before testing the disabled path
-    stable = 0
-    while stable < 4:
-        n = len(calls)
-        time.sleep(0.1)
-        stable = stable + 1 if len(calls) == n else 0
     batch_sizes = [c[0] for c in calls]
     assert batch_sizes == sorted(batch_sizes), calls
     assert batch_sizes[-1] == 16, calls  # largest batcher bucket warmed
 
     calls.clear()
     monkeypatch.setenv("SERVE_WARMUP", "0")
-    Predictor(model, model.init(None), "pretrained",
-              extractor=FaceExtractor(detector="center", face_size=16))
+    pred_off = Predictor(model, model.init(None), "pretrained",
+                         extractor=FaceExtractor(detector="center",
+                                                 face_size=16))
+    assert pred_off.warmup_done.is_set()  # disabled → immediately "done"
     time.sleep(0.2)
     assert not calls
 
