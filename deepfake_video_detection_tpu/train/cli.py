@@ -80,6 +80,9 @@ def main(argv=None) -> int:
                     help="optimizer steps fused into one device dispatch "
                          "(scan-of-steps; amortizes dispatch overhead)")
     ap.add_argument("--torch-export", action="store_true")
+    ap.add_argument("--ema_decay", type=float, default=None,
+                    help="params-EMA decay (e.g. 0.999): validation/best-"
+                         "ckpt use the EMA weights; *_ema.npz written")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 activations (params stay f32)")
     ap.add_argument("--from-videos", dest="from_videos", action="store_true",
@@ -134,6 +137,7 @@ def main(argv=None) -> int:
         best_metric="f1", smoke=args.smoke, adjacency=adjacency,
         augment=not args.no_augment, keep_torch_export=args.torch_export,
         steps_per_call=args.steps_per_call,
+        ema_decay=args.ema_decay,
         model_config=model_config,
     )
     if plan is not None:

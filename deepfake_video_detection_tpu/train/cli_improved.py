@@ -41,6 +41,9 @@ def main(argv=None) -> int:
     ap.add_argument("--recursive", action="store_true")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 activations (params stay f32)")
+    ap.add_argument("--ema_decay", type=float, default=None,
+                    help="params-EMA decay (e.g. 0.999): validation/best-"
+                         "ckpt use the EMA weights; *_ema.npz written")
     from deepfake_video_detection_tpu.parallel.strategy import (
         add_parallel_args, build_plan)
     add_parallel_args(ap, temporal=False)
@@ -70,7 +73,7 @@ def main(argv=None) -> int:
         balance="sampler", grad_clip=1.0,
         early_stopping_patience=args.patience, best_metric="accuracy",
         save_every=10, smoke=args.smoke, adjacency="chain",
-        normalize=normalize,
+        normalize=normalize, ema_decay=args.ema_decay,
         model_config={"model_type": "vit_gcn", "vit_variant": variant,
                       "backbone": flavor},
     )

@@ -19,7 +19,7 @@ factor fed through ``optax.inject_hyperparams``.
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -83,14 +83,67 @@ def cosine_warm_restarts(base_lr: float, t_0: int = 10, t_mult: int = 2,
 # ---------------------------------------------------------------------------
 
 
+class EmaState(NamedTuple):
+    """Optimizer-state slot holding the parameter EMA (``ema_params``)."""
+
+    ema: Any
+
+
+def ema_params(decay: float) -> optax.GradientTransformation:
+    """Exponential moving average of the *parameters*, kept as optimizer
+    state (beyond reference parity — the standard production-training
+    stabilizer the reference lacks).
+
+    Append at the END of the chain — after the lr scale and any freeze
+    mask — so ``updates`` are the final deltas: the transform computes
+    ``new_params = params + updates`` and folds them in with
+    ``ema += (1 - decay) * (new_params - ema)`` (torch ``ModelEmaV2``
+    semantics: seeded from the initial params, no debiasing). Updates pass
+    through unchanged, so training numerics are identical with or without
+    it; because it lives in ``opt_state`` it checkpoints/resumes and
+    shards (replicated, like the rest of the optimizer state) for free.
+    Retrieve with :func:`get_ema_params`."""
+    if not 0.0 < decay < 1.0:
+        raise ValueError(f"ema decay must be in (0, 1), got {decay}")
+
+    def init_fn(params):
+        # REAL copies, not jnp.asarray views: the train step donates the
+        # TrainState, and an EMA slot aliasing the param buffers would be
+        # "the same buffer donated twice" at execute time
+        return EmaState(ema=jax.tree_util.tree_map(
+            lambda p: jnp.array(p, copy=True), params))
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("ema_params requires params in tx.update()")
+        new_ema = jax.tree_util.tree_map(
+            lambda e, p, u: (e + (1.0 - decay) * ((p + u) - e)).astype(e.dtype),
+            state.ema, params, updates)
+        return updates, EmaState(ema=new_ema)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def get_ema_params(opt_state: Any) -> Optional[Any]:
+    """Find the :class:`EmaState` anywhere in a (possibly nested —
+    inject_hyperparams / chain / multi_transform) optimizer state and return
+    its parameter tree, or None if the optimizer has no EMA slot."""
+    hits = [leaf for leaf in jax.tree_util.tree_flatten(
+        opt_state, is_leaf=lambda x: isinstance(x, EmaState))[0]
+        if isinstance(leaf, EmaState)]
+    return hits[0].ema if hits else None
+
+
 def build_optimizer(
     name: str = "adamw",
     schedule: Callable[[int], float] | float = 1e-3,
     weight_decay: float = 1e-4,
     grad_clip: Optional[float] = 1.0,
     trainable_mask: Optional[Any] = None,
+    ema_decay: Optional[float] = None,
 ) -> optax.GradientTransformation:
-    """Compose clip → adam(w) → schedule → plateau-factor → freeze-mask.
+    """Compose clip → adam(w) → schedule → plateau-factor → freeze-mask
+    [→ params-EMA].
 
     The returned transformation is wrapped in ``optax.inject_hyperparams`` so
     the host can scale ``plateau_factor`` after validation (ReduceLROnPlateau)
@@ -120,6 +173,11 @@ def build_optimizer(
                 jax.tree_util.tree_map(
                     lambda t: "train" if t else "freeze", trainable_mask),
             )
+        if ema_decay is not None:
+            # OUTSIDE the freeze mask: multi_transform's inner states only
+            # see masked sub-trees, but the EMA must track the full params
+            # (frozen leaves simply stay constant under zero updates)
+            tx = optax.chain(tx, ema_params(ema_decay))
         return tx
 
     return optax.inject_hyperparams(make)()

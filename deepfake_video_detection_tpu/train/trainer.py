@@ -96,6 +96,10 @@ class TrainerConfig:
     normalize: str = "imagenet"       # imagenet | clip | unit (x/255 only)
     compute_dtype: str = "float32"
     steps_per_call: int = 1           # optimizer steps fused per device dispatch
+    ema_decay: Optional[float] = None  # params-EMA (optim.ema_params); when
+                                       # set, validation + best-ckpt selection
+                                       # use the EMA weights and `*_ema.npz`
+                                       # servable checkpoints are written
     model_config: Dict[str, Any] = field(default_factory=dict)
 
 
@@ -170,7 +174,8 @@ class Trainer:
         else:
             sched = config.lr
         self.tx = optim_mod.build_optimizer(config.optimizer, sched,
-                                            config.weight_decay, config.grad_clip)
+                                            config.weight_decay, config.grad_clip,
+                                            ema_decay=config.ema_decay)
         self.plateau = optim_mod.ReduceLROnPlateau(
             mode="min", patience=config.plateau_patience) if config.plateau else None
         self.early = optim_mod.EarlyStopping(config.early_stopping_patience) \
@@ -462,8 +467,19 @@ class Trainer:
             "epoch_time_s": time.time() - t0,
         }
 
+    def _eval_variables(self, state: TrainState) -> Dict[str, Any]:
+        """What validation (and the best-checkpoint decision) scores: the
+        EMA weights when ``ema_decay`` is set — the weights you'd deploy —
+        else the live params. Model state (BN stats) is shared either way."""
+        if self.cfg.ema_decay:
+            ema = optim_mod.get_ema_params(state.opt_state)
+            if ema is not None:
+                return {"params": ema, "state": state.model_state}
+        return state.variables
+
     def validate(self, state: TrainState, epoch: int,
                  write_preds: bool = True) -> Dict[str, Any]:
+        eval_variables = self._eval_variables(state)
         loader = self._make_loader(self.val_ds, train=False)
         probs_all, labels_all, paths_all = [], [], []
         losses = []
@@ -473,7 +489,7 @@ class Trainer:
             paths = batch.pop("paths", [])
             valid = np.asarray(batch.pop("valid"))
             batch = self._prep_eval(batch)
-            out = self.eval_step(state.variables, batch)
+            out = self.eval_step(eval_variables, batch)
             probs = np.asarray(out["probs"])[valid]
             labels = np.asarray(batch["labels"])[valid]
             logits = np.asarray(out["logits"])[valid]
@@ -551,6 +567,16 @@ class Trainer:
         save_checkpoint(path, state.variables, self._ckpt_meta(epoch, metrics),
                         opt_state=state.opt_state if with_opt else None,
                         step=int(state.step))
+        if self.cfg.ema_decay:
+            # servable EMA weights as params (the ones validation scored);
+            # the raw checkpoint above still resumes exactly (the EMA slot
+            # rides along inside opt_state)
+            ema = optim_mod.get_ema_params(state.opt_state)
+            if ema is not None:
+                save_checkpoint(
+                    os.path.join(self.cfg.out_dir, f"{name}_ema.npz"),
+                    {"params": ema, "state": state.model_state},
+                    self._ckpt_meta(epoch, metrics), step=int(state.step))
         if self.cfg.keep_torch_export:
             try:
                 save_torch_checkpoint(

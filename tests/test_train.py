@@ -471,3 +471,98 @@ def test_training_is_deterministic(npz_dir, tmp_path):
     p1, p2 = run("a"), run("b")
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_array_equal(a, b), p1, p2)
+
+
+# ---------------------------------------------------------------------------
+# params-EMA (train.optim.ema_params — beyond reference parity)
+# ---------------------------------------------------------------------------
+
+
+def test_ema_transform_recurrence_and_extraction():
+    """The EMA slot follows torch-ModelEmaV2 numerics exactly and is
+    findable through the inject_hyperparams/chain nesting."""
+    from deepfake_video_detection_tpu.train import optim
+
+    tx = optim.build_optimizer("sgd", 0.1, grad_clip=None, ema_decay=0.5)
+    params = {"w": jnp.asarray(1.0)}
+    opt_state = tx.init(params)
+    ema_ref = 1.0
+    p_ref = 1.0
+    for _ in range(3):
+        grads = {"w": jnp.asarray(1.0)}
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        # sgd(momentum 0.9) with constant grad=1: trace accumulates
+        p_ref = float(params["w"])
+        ema_ref = ema_ref + (1 - 0.5) * (p_ref - ema_ref)
+        ema = optim.get_ema_params(opt_state)
+        assert ema is not None
+        np.testing.assert_allclose(float(ema["w"]), ema_ref, rtol=1e-6)
+    # training numerics are untouched by the EMA slot
+    tx0 = optim.build_optimizer("sgd", 0.1, grad_clip=None)
+    params0 = {"w": jnp.asarray(1.0)}
+    s0 = tx0.init(params0)
+    for _ in range(3):
+        u0, s0 = tx0.update({"w": jnp.asarray(1.0)}, s0, params0)
+        params0 = jax.tree_util.tree_map(lambda p, u: p + u, params0, u0)
+    np.testing.assert_allclose(float(params0["w"]), p_ref, rtol=1e-7)
+    assert optim.get_ema_params(s0) is None
+
+
+def test_ema_tracks_full_tree_under_freeze_mask():
+    """EMA sits OUTSIDE the freeze multi_transform: frozen leaves appear in
+    the EMA tree (constant), not as masked holes."""
+    from deepfake_video_detection_tpu.train import optim
+
+    mask = {"a": True, "b": False}
+    tx = optim.build_optimizer("adam", 0.1, trainable_mask=mask,
+                               ema_decay=0.9)
+    params = {"a": jnp.asarray(1.0), "b": jnp.asarray(2.0)}
+    st = tx.init(params)
+    for _ in range(2):
+        u, st = tx.update({"a": jnp.asarray(1.0), "b": jnp.asarray(1.0)},
+                          st, params)
+        params = jax.tree_util.tree_map(lambda p, q: p + q, params, u)
+    ema = optim.get_ema_params(st)
+    assert set(ema) == {"a", "b"}
+    np.testing.assert_allclose(float(ema["b"]), 2.0)   # frozen: constant
+    assert float(ema["a"]) != 1.0                       # trained: moved
+
+
+def test_trainer_ema_end_to_end(npz_dir, tmp_path):
+    """--ema_decay: EMA weights are validated/saved as *_ema.npz, servable
+    through the loader-style variables layout, and resume restores the
+    EMA slot (it rides inside opt_state)."""
+    from deepfake_video_detection_tpu.train import optim
+
+    ds = VideoFacesDataset(npz_dir, num_frames=4)
+    train_ds, val_ds = ds.split(0.25)
+    mesh = make_mesh()
+    cfg = TrainerConfig(
+        out_dir=str(tmp_path / "ckpt_ema"), epochs=2, batch_size=8,
+        num_frames=4, lr=5e-2, optimizer="adamw", schedule="cosine",
+        augment=False, ema_decay=0.9, model_config={"model_type": "tiny"},
+    )
+    trainer = Trainer(TinyDetector(), train_ds, val_ds, cfg, mesh=mesh)
+    state = trainer.train(log=lambda *_: None)
+
+    ema = optim.get_ema_params(state.opt_state)
+    assert ema is not None
+    # EMA lags the live params after a short hot run
+    assert not np.allclose(np.asarray(ema["head"]["weight"]),
+                           np.asarray(state.params["head"]["weight"]))
+    # validation scored the EMA weights
+    ev = trainer._eval_variables(state)
+    np.testing.assert_array_equal(np.asarray(ev["params"]["head"]["weight"]),
+                                  np.asarray(ema["head"]["weight"]))
+
+    best_ema = os.path.join(cfg.out_dir, "checkpoint_best_ema.npz")
+    assert os.path.exists(best_ema)
+    from deepfake_video_detection_tpu.checkpoint.store import load_checkpoint
+    variables, meta = load_checkpoint(best_ema)
+    assert "head" in variables["params"]
+
+    # resume: the EMA slot comes back through opt_state
+    t2 = Trainer(TinyDetector(), train_ds, val_ds, cfg, mesh=mesh)
+    s2 = t2.resume(os.path.join(cfg.out_dir, "checkpoint_best.npz"))
+    assert optim.get_ema_params(s2.opt_state) is not None
