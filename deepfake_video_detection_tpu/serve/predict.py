@@ -432,7 +432,13 @@ class Predictor:
 
         base = {"prob_real": prob_real, "prob_fake": prob_fake,
                 "num_faces": num_faces, "threshold": thr,
-                "enhanced_agent": agent_payload}
+                "enhanced_agent": agent_payload,
+                # additive key (reference schema untouched): the temporal
+                # attention weights of the deciding window — which sampled
+                # frames drove the verdict (rendered as the result page's
+                # per-frame strip; sums to ~1 over the T frames)
+                "frame_scores": [round(float(s), 4)
+                                 for s in np.asarray(frame_scores)[widx]]}
         if win_payload is not None:
             base["windows"] = win_payload
         if abstain_margin > 0.0 and abs(prob_fake - thr) <= abstain_margin:

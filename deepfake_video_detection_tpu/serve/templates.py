@@ -242,6 +242,35 @@ def _windows_strip(w) -> str:
             f"window {w.get('deciding_window')}):</p>{svg}")
 
 
+def _frame_strip(result: Dict[str, Any]) -> str:
+    """Per-frame temporal-attention strip: which of the sampled frames the
+    detector weighted when deciding (``frame_scores`` — the temporal
+    attention softmax, serve/predict.py). Explains the verdict at frame
+    granularity; the reference exposes nothing equivalent."""
+    scores = result.get("frame_scores")
+    if not isinstance(scores, list) or not scores:
+        return ""
+    try:
+        vals = [max(0.0, float(s)) for s in scores]
+    except (TypeError, ValueError):
+        return ""
+    top = max(vals) or 1.0
+    n = len(vals)
+    bw = max(10, min(44, 360 // n))
+    bars = []
+    for i, v in enumerate(vals):
+        h = max(2, int(round(v / top * 40)))
+        hot = "#d9534f" if v == top else "#5b76c7"
+        bars.append(
+            f'<rect x="{i * (bw + 3)}" y="{42 - h}" width="{bw}" '
+            f'height="{h}" fill="{hot}" rx="2"><title>frame {i}: attention '
+            f'{v * 100:.1f}%</title></rect>')
+    svg = (f'<svg width="{n * (bw + 3)}" height="44" role="img" '
+           f'aria-label="per-frame attention weights">{"".join(bars)}</svg>')
+    return ('<p class="muted">Frame attention (which sampled frames drove '
+            f"the verdict):</p>{svg}")
+
+
 def _confidence_gauge(conf, prediction: str) -> str:
     """SVG donut gauge for the decision confidence (≙ the reference
     result page's visual verdict chrome, ``templates/result.html``)."""
@@ -315,6 +344,7 @@ def results_page(items: List[Dict[str, Any]], user: Optional[str]) -> str:
         just = html.escape(item.get("justification", ""))
         msg = html.escape(item.get("message", ""))
         windows_html = _windows_strip(result.get("windows"))
+        frames_html = _frame_strip(result)
         gauge = _confidence_gauge(conf, result.get("prediction", ""))
         cards.append(f"""
 <div class="card"><h2>{fname}</h2>
@@ -323,6 +353,7 @@ def results_page(items: List[Dict[str, Any]], user: Optional[str]) -> str:
 {conf_s} · fake prob {pf_s} · faces {result.get("num_faces", "–")}</span></p>
 {_prob_bar(result)}</div></div>
 {windows_html}
+{frames_html}
 <p>{msg}</p>
 <details class="typed"><summary>Full 200-word report</summary><pre id="just">{just}</pre></details>
 <details><summary>Raw result</summary>
@@ -464,18 +495,27 @@ async function savePhone() {{
 }}
 </script>
 <script>
+// append as text nodes, never innerHTML: chat content (the user's own
+// message AND the server reply, which can echo stored upload filenames)
+// must not be parsed as markup
+function chatLine(log, cls, prefix, text) {{
+  const p = document.createElement('p');
+  p.className = cls;
+  p.textContent = prefix + text;
+  log.appendChild(p);
+  log.scrollTop = log.scrollHeight;
+}}
 async function send() {{
   const m = document.getElementById('msg').value;
   if (!m) return;
   const log = document.getElementById('log');
-  log.innerHTML += '<p class="chat-msg-user">You: ' + m + '</p>';
+  chatLine(log, 'chat-msg-user', 'You: ', m);
   document.getElementById('msg').value = '';
   const r = await fetch('/api/chat', {{method: 'POST',
     headers: {{'Content-Type': 'application/json'}},
     body: JSON.stringify({{message: m}})}});
   const j = await r.json();
-  log.innerHTML += '<p class="chat-msg-bot">Bot: ' + (j.reply || j.error) + '</p>';
-  log.scrollTop = log.scrollHeight;
+  chatLine(log, 'chat-msg-bot', 'Bot: ', j.reply || j.error || '');
 }}
 async function loadModel() {{
   const path = document.getElementById('ckpt').value;
@@ -517,18 +557,24 @@ def _chat_card(endpoint: str) -> str:
 <p><input type="text" id="rmsg" placeholder="e.g. why was this flagged?">
 <button onclick="rsend()">Send</button></p></div>
 <script>
+function rline(log, cls, prefix, text) {{
+  const p = document.createElement('p');
+  p.className = cls;
+  p.textContent = prefix + text;  // text nodes, never innerHTML
+  log.appendChild(p);
+  log.scrollTop = log.scrollHeight;
+}}
 async function rsend() {{
   const m = document.getElementById('rmsg').value;
   if (!m) return;
   const log = document.getElementById('rlog');
-  log.innerHTML += '<p class="chat-msg-user">You: ' + m + '</p>';
+  rline(log, 'chat-msg-user', 'You: ', m);
   document.getElementById('rmsg').value = '';
   const r = await fetch('{endpoint}', {{method: 'POST',
     headers: {{'Content-Type': 'application/json'}},
     body: JSON.stringify({{message: m}})}});
   const j = await r.json();
-  log.innerHTML += '<p class="chat-msg-bot">Bot: ' + (j.reply || j.error) + '</p>';
-  log.scrollTop = log.scrollHeight;
+  rline(log, 'chat-msg-bot', 'Bot: ', j.reply || j.error || '');
 }}
 document.getElementById('rmsg').addEventListener('keydown',
   e => {{ if (e.key === 'Enter') rsend(); }});

@@ -314,8 +314,13 @@ def test_frontend_surface(served):
     from deepfake_video_detection_tpu.serve.templates import result_page
     page = result_page(None, {"filename": "x.avi", "result": {
         "prediction": "Real", "confidence": 0.9, "prob_fake": 0.1,
-        "num_faces": 4}})
+        "num_faces": 4, "frame_scores": [0.1, 0.6, 0.2, 0.1]}})
     assert "/api/chat-public" in page and "rsend" in page
+    # per-frame attention strip (r3): one bar per sampled frame, peak hot
+    assert "per-frame attention weights" in page
+    assert page.count('fill="#5b76c7"') == 3 and 'fill="#d9534f"' in page
+    # chat appends TEXT nodes (no innerHTML string concat of user content)
+    assert "textContent" in page and "innerHTML +=" not in page
     page_auth = result_page("u@example.com", {"filename": "x.avi",
                                               "result": {}})
     assert "/api/chat" in page_auth
@@ -376,6 +381,10 @@ def test_predictor_yuv_fast_path(served):
     assert "error" not in out, out
     assert out.get("prediction") in ("Deepfake", "Real", "Uncertain")
     assert out["num_faces"] >= 1
+    # r3 additive key: the deciding window's temporal-attention weights
+    fs = out["frame_scores"]
+    assert isinstance(fs, list) and len(fs) >= 1
+    assert abs(sum(fs) - 1.0) < 0.01  # softmax over the T frames
     # the YUV forward was actually used (center detector + default env)
     assert hasattr(pred, "_forward_yuv")
 
