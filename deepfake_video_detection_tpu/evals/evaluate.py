@@ -230,14 +230,23 @@ def main(argv=None) -> int:
                     help="bfloat16 activations (params stay f32) — same "
                          "convention as the training CLIs; the rnn pipeline "
                          "stays f32 (scan LSTM is not MXU-bound)")
+    ap.add_argument("--quantize", default="none", choices=["none", "int8"],
+                    help="evaluate with int8 weight-at-rest quantization "
+                         "(nn/quant.py) — measure the quality cost of "
+                         "QUANTIZE=int8 serving BEFORE enabling it")
     args = ap.parse_args(argv)
 
     sd, meta = load_any(args.checkpoint)
     model, variables, report, mt = build_model_from_checkpoint(
         sd, meta, args.model,
         compute_dtype=jnp.bfloat16 if args.bf16 else None)
+    n_quant = 0
+    if args.quantize == "int8":
+        from deepfake_video_detection_tpu.nn.quant import quantize_variables
+        variables, n_quant = quantize_variables(variables)
     print(f"model={mt} matched={len(report['matched'])} missing={len(report['missing'])} "
-          f"match_ratio={report['match_ratio']:.3f}")
+          f"match_ratio={report['match_ratio']:.3f}"
+          + (f" quantized_weights={n_quant}" if n_quant else ""))
 
     if args.from_videos:
         from deepfake_video_detection_tpu.data.video_dataset import (

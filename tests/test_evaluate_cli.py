@@ -73,3 +73,25 @@ def test_arch_inference_helpers():
     model, _, report, mt = build_model_from_checkpoint(
         {"backbone.conv_stem.weight": np.zeros((32, 3, 3, 3))}, {}, "")
     assert mt == "pretrained"
+
+
+def test_evaluate_cli_quantize_int8(eval_setup):
+    """--quantize int8: evaluates the int8-weight model (the exact numerics
+    QUANTIZE=int8 would serve) and the per-file scores track the f32 run."""
+    data_dir, ckpt = eval_setup
+    base_csv = os.path.join(data_dir, "evaluation_summary.csv")
+    if not os.path.exists(base_csv):
+        assert main(["--data_dir", data_dir, "--checkpoint", ckpt,
+                     "--num_frames", "4", "--batch_size", "4",
+                     "--out_csv", base_csv]) == 0
+    out_csv = os.path.join(data_dir, "evaluation_summary_int8.csv")
+    rc = main(["--data_dir", data_dir, "--checkpoint", ckpt,
+               "--num_frames", "4", "--batch_size", "4",
+               "--quantize", "int8", "--out_csv", out_csv])
+    assert rc == 0
+    with open(base_csv, newline="") as f:
+        ref = {r["path"]: float(r["prob_fake"]) for r in csv.DictReader(f)}
+    with open(out_csv, newline="") as f:
+        got = {r["path"]: float(r["prob_fake"]) for r in csv.DictReader(f)}
+    assert set(got) == set(ref) and len(got) == 8
+    assert max(abs(got[p] - ref[p]) for p in ref) < 0.05
