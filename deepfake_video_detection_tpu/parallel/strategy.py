@@ -38,7 +38,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # sharding rules (shared with __graft_entry__.dryrun_multichip)
 # ---------------------------------------------------------------------------
 
-def tp_param_pspec(path: str) -> P:
+def tp_param_pspec(path: str, shape=None) -> P:
     """Tensor-parallel rules for the flagship ``BackboneDetector``: shard
     the wide head matmul and the final backbone conv over ``model``.
     fc1.weight is (256, 1280) — shard the 1280 feature (contracting) dim;
@@ -52,24 +52,76 @@ def tp_param_pspec(path: str) -> P:
     return P()
 
 
-def pp_param_pspec(path: str, stage_axis: str = "stage") -> P:
+def pp_param_pspec(path: str, shape=None, stage_axis: str = "stage") -> P:
     """GPipe rules for the stacked-block temporal transformer: every
     ``blocks.*`` leaf carries a leading depth axis — shard it over the
     stage axis so each device holds depth/S blocks."""
     return P(stage_axis) if path.startswith("blocks.") else P()
 
 
+def make_fsdp_spec_fn(data_size: int, axis: str = "data",
+                      min_size: int = 2 ** 14,
+                      base: Optional[Callable[..., P]] = None
+                      ) -> Callable[[str, Any], P]:
+    """FSDP / ZeRO-3 rule: shard every large-enough param leaf over the
+    ``data`` axis so each of the N data-parallel devices stores 1/N of the
+    parameters AND (because ``optax``'s ``init`` builds moments with
+    ``zeros_like`` on the already-placed leaves) 1/N of the optimizer state.
+    XLA/GSPMD then inserts the canonical ZeRO-3 collectives automatically:
+    all-gather of each weight right before its matmul in forward/backward,
+    reduce-scatter of its gradient — nothing is hand-written (the
+    scaling-book "fully sharded" recipe; the reference has no distributed
+    training at all, SURVEY.md §2.6).
+
+    Per leaf we shard the LARGEST dimension divisible by ``data_size``
+    (ties → the last such dim, which for HWIO convs is the output-channel
+    dim XLA tiles best); leaves smaller than ``min_size`` elements, or with
+    no divisible dim, replicate — gathering a tiny BN vector costs more
+    latency than storing it N times.
+
+    ``base`` composes with another rule (e.g. ``tp_param_pspec``): dims the
+    base rule already assigns to a mesh axis are kept, and FSDP shards the
+    largest *remaining* free dim over ``data`` — 2-D (data x model) weight
+    sharding on the wide head leaves.
+    """
+
+    def spec(path: str, shape=None) -> P:
+        base_spec = tuple(base(path, shape)) if base is not None else ()
+        if shape is None:
+            return P(*base_spec)
+        shape = tuple(shape)
+        n_elems = 1
+        for d in shape:
+            n_elems *= int(d)
+        if n_elems < min_size:
+            return P(*base_spec)
+        entries = list(base_spec) + [None] * (len(shape) - len(base_spec))
+        pick, pick_sz = -1, 0
+        for i, d in enumerate(shape):
+            if entries[i] is None and d % data_size == 0 and d >= pick_sz:
+                pick, pick_sz = i, d
+        if pick < 0:
+            return P(*base_spec)
+        entries[pick] = axis
+        while entries and entries[-1] is None:
+            entries.pop()
+        return P(*entries)
+
+    return spec
+
+
 def place_variables(variables: Dict[str, Any], mesh: Mesh,
-                    spec_fn: Callable[[str], P]) -> Dict[str, Any]:
+                    spec_fn: Callable[..., P]) -> Dict[str, Any]:
     """Device-put a ``{"params", "state"}`` tree with per-leaf shardings
-    from ``spec_fn`` (params) / replication (state)."""
+    from ``spec_fn(path, shape)`` (params) / replication (state)."""
     from deepfake_video_detection_tpu.utils.tree import (
         flatten_dotted, unflatten_dotted)
 
     repl = NamedSharding(mesh, P())
     flat = flatten_dotted(variables["params"])
     params = unflatten_dotted({
-        k: jax.device_put(np.asarray(v), NamedSharding(mesh, spec_fn(k)))
+        k: jax.device_put(np.asarray(v),
+                          NamedSharding(mesh, spec_fn(k, np.shape(v))))
         for k, v in flat.items()})
     state = jax.tree_util.tree_map(
         lambda x: jax.device_put(np.asarray(x), repl), variables["state"])
@@ -85,8 +137,8 @@ class ParallelPlan:
     """Everything the Trainer needs to run one parallelism configuration."""
 
     mesh: Mesh
-    # dotted param path -> PartitionSpec (P() = replicated)
-    param_spec_fn: Callable[[str], P] = lambda path: P()
+    # dotted param path (+ shape) -> PartitionSpec (P() = replicated)
+    param_spec_fn: Callable[..., P] = lambda path, shape=None: P()
     # batch leaf name -> PartitionSpec; leaves not listed shard P("data")
     batch_specs: Dict[str, P] = field(default_factory=dict)
     pure_dp: bool = True
@@ -123,6 +175,11 @@ def add_parallel_args(ap: argparse.ArgumentParser,
                    help="mesh axes, e.g. 'data=4,model=2' (TP for the "
                         "detector head) — 'data=-1' means all remaining "
                         "devices; default: all devices on data")
+    g.add_argument("--fsdp", action="store_true",
+                   help="FSDP/ZeRO-3: shard params + optimizer state over "
+                        "the data axis (each device stores 1/N; XLA "
+                        "all-gathers weights per layer and reduce-scatters "
+                        "grads); composes with --mesh model=N")
     if temporal:
         g.add_argument("--seq", default="none",
                        choices=["none", "ring", "ulysses"],
@@ -167,8 +224,10 @@ def build_plan(args: argparse.Namespace, model_name: str, num_frames: int,
     wants_ep = moe_experts > 0 and (expert_par > 1 or expert_par == 0
                                     and moe_experts > 1 and n > 1)
     tp = int(axes.get("model", 1))
+    fsdp = bool(getattr(args, "fsdp", False))
 
-    if not axes and not wants_sp and not wants_pp and not moe_experts:
+    if not axes and not wants_sp and not wants_pp and not moe_experts \
+            and not fsdp:
         return None, {}
 
     # ---- validation ----
@@ -187,6 +246,10 @@ def build_plan(args: argparse.Namespace, model_name: str, num_frames: int,
                          "composition is exercised by dryrun_multichip "
                          "phase 5); pass --expert_par 1 to run MoE densely "
                          "alongside seq/pp")
+    if fsdp and (wants_sp or wants_pp or wants_ep):
+        raise ValueError("--fsdp shards params over the data axis and "
+                         "currently composes with pure DP or --mesh model=N "
+                         "only; drop --seq/--pp_stages/--moe_experts")
     if wants_sp:
         if seq == "none":
             seq = "ring"
@@ -241,13 +304,21 @@ def build_plan(args: argparse.Namespace, model_name: str, num_frames: int,
 
     # ---- plan + model kwargs ----
     model_kwargs: Dict[str, Any] = {}
-    param_spec_fn: Callable[[str], P] = lambda path: P()
+    param_spec_fn: Callable[..., P] = lambda path, shape=None: P()
     batch_specs: Dict[str, P] = {}
     pure_dp = second is None
     desc = f"dp={data}"
     if tp > 1:
         param_spec_fn = tp_param_pspec
         desc += f",tp={tp}"
+    if fsdp:
+        if data < 2:
+            raise ValueError("--fsdp needs a data axis of at least 2 "
+                             f"(got data={data})")
+        param_spec_fn = make_fsdp_spec_fn(
+            data, base=tp_param_pspec if tp > 1 else None)
+        pure_dp = False
+        desc += ",fsdp"
     if wants_sp:
         model_kwargs.update(mesh=mesh, seq_axis="seq", seq_strategy=seq,
                             use_cls=False)
