@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -100,14 +102,23 @@ def _out_axis(ndim: int) -> int:
     return 0 if ndim == 2 else 3
 
 
-def quantize_weight(w: jnp.ndarray) -> Int8Weight:
-    """Symmetric per-output-channel int8 quantization of one weight leaf."""
+def quantize_weight(w) -> Int8Weight:
+    """Symmetric per-output-channel int8 quantization of one weight leaf.
+
+    Pure HOST-side numpy: quantization is a load-time transform over
+    checkpoint arrays, and eager per-leaf jnp ops would dispatch hundreds of
+    tiny programs through the TPU relay at server start (seconds-to-minutes
+    in a bad window). The quantized tree reaches the device later in ONE
+    ``jax.device_put``; the dequant multiply runs inside the jitted forward.
+    """
     axis = _out_axis(w.ndim)
     reduce_axes = tuple(i for i in range(w.ndim) if i != axis)
-    wf = jnp.asarray(w, jnp.float32)
-    amax = jnp.max(jnp.abs(wf), axis=reduce_axes, keepdims=True)
-    scale = jnp.where(amax > 0, amax / _QMAX, 1.0)
-    q = jnp.clip(jnp.round(wf / scale), -_QMAX, _QMAX).astype(jnp.int8)
+    wf = np.asarray(w, np.float32)
+    amax = np.max(np.abs(wf), axis=reduce_axes, keepdims=True)
+    scale = np.where(amax > 0, amax / _QMAX, np.float32(1.0)).astype(np.float32)
+    # np.rint == jnp.round (round-half-to-even), so the numerics match the
+    # previous on-device implementation bit-for-bit
+    q = np.clip(np.rint(wf / scale), -_QMAX, _QMAX).astype(np.int8)
     return Int8Weight(q, scale)
 
 
@@ -116,7 +127,9 @@ def _is_quantizable(key: str, leaf: Any, min_elems: int) -> bool:
         return False
     if not hasattr(leaf, "ndim") or leaf.ndim not in (2, 4):
         return False  # norms/biases (1-D), embeddings kept f32
-    if not jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating):
+    # dtype-metadata check only — no jnp.asarray, which would eagerly move
+    # the leaf to the default device one dispatch at a time
+    if not jnp.issubdtype(leaf.dtype, jnp.floating):
         return False
     return leaf.size >= min_elems
 

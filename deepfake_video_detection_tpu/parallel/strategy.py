@@ -110,6 +110,22 @@ def make_fsdp_spec_fn(data_size: int, axis: str = "data",
     return spec
 
 
+def sharding_summary(params) -> Tuple[int, int, float]:
+    """``(sharded_leaves, total_leaves, fraction_of_param_bytes_sharded)``
+    over a placed params tree — lets callers SURFACE silent replication
+    fallbacks (e.g. ``--fsdp`` on a device count nothing divides by)."""
+    leaves = jax.tree_util.tree_leaves(params)
+    n_sh, total_b, sh_b = 0, 0, 0
+    for leaf in leaves:
+        b = int(leaf.size) * leaf.dtype.itemsize
+        total_b += b
+        spec = getattr(getattr(leaf, "sharding", None), "spec", None)
+        if spec is not None and any(a is not None for a in spec):
+            n_sh += 1
+            sh_b += b
+    return n_sh, len(leaves), (sh_b / total_b if total_b else 0.0)
+
+
 def place_variables(variables: Dict[str, Any], mesh: Mesh,
                     spec_fn: Callable[..., P]) -> Dict[str, Any]:
     """Device-put a ``{"params", "state"}`` tree with per-leaf shardings

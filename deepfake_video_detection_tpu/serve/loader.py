@@ -168,6 +168,22 @@ def load_model(path: str, model_type: Optional[str] = None
     from deepfake_video_detection_tpu.models.gcn import FrameGraphDetector
 
     sd, meta = load_any(path)
+    if (meta.get("metrics_scored_on") == "ema"
+            and path.endswith(".npz") and not path.endswith("_ema.npz")):
+        # EMA training: best-checkpoint selection scored the EMA weights,
+        # so the raw-params file's recorded metrics belong to the sibling
+        # *_ema.npz — serve THOSE weights, not the raw ones
+        ema_path = path[:-len(".npz")] + "_ema.npz"
+        if os.path.exists(ema_path):
+            logger.info("checkpoint %s was selected on EMA metrics; "
+                        "serving the EMA weights from %s", path, ema_path)
+            path = ema_path
+            sd, meta = load_any(ema_path)
+        else:
+            logger.warning("checkpoint %s records EMA-scored metrics but no "
+                           "sibling _ema.npz exists; serving RAW weights "
+                           "whose quality may differ from the recorded "
+                           "metrics", path)
     cfg = meta.get("model_config") or {}
     fake_idx = detect_fake_index(meta)
     n_members = infer_ensemble_count(sd)

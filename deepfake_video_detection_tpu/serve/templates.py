@@ -310,6 +310,23 @@ def _prob_bar(result: Dict[str, Any]) -> str:
 
 # typewriter effect for the justification (≙ ui_results.html's typed
 # animation, templates/ui_results.html:40-59)
+# ONE chat-append helper shared by every chat-bearing script (dashboard +
+# per-result chat card — a page can embed both; redeclaration is identical
+# and harmless). Inserted by f-string interpolation, so single braces are
+# correct here.
+_CHAT_LINE_JS = """\
+// append as text nodes, never innerHTML: chat content (the user's own
+// message AND the server reply, which can echo stored upload filenames)
+// must not be parsed as markup
+function chatLine(log, cls, prefix, text) {
+  const p = document.createElement('p');
+  p.className = cls;
+  p.textContent = prefix + text;
+  log.appendChild(p);
+  log.scrollTop = log.scrollHeight;
+}"""
+
+
 _TYPED_JS = """
 <script>
 document.querySelectorAll('details.typed').forEach(function (d) {
@@ -495,16 +512,7 @@ async function savePhone() {{
 }}
 </script>
 <script>
-// append as text nodes, never innerHTML: chat content (the user's own
-// message AND the server reply, which can echo stored upload filenames)
-// must not be parsed as markup
-function chatLine(log, cls, prefix, text) {{
-  const p = document.createElement('p');
-  p.className = cls;
-  p.textContent = prefix + text;
-  log.appendChild(p);
-  log.scrollTop = log.scrollHeight;
-}}
+{_CHAT_LINE_JS}
 async function send() {{
   const m = document.getElementById('msg').value;
   if (!m) return;
@@ -557,24 +565,18 @@ def _chat_card(endpoint: str) -> str:
 <p><input type="text" id="rmsg" placeholder="e.g. why was this flagged?">
 <button onclick="rsend()">Send</button></p></div>
 <script>
-function rline(log, cls, prefix, text) {{
-  const p = document.createElement('p');
-  p.className = cls;
-  p.textContent = prefix + text;  // text nodes, never innerHTML
-  log.appendChild(p);
-  log.scrollTop = log.scrollHeight;
-}}
+{_CHAT_LINE_JS}
 async function rsend() {{
   const m = document.getElementById('rmsg').value;
   if (!m) return;
   const log = document.getElementById('rlog');
-  rline(log, 'chat-msg-user', 'You: ', m);
+  chatLine(log, 'chat-msg-user', 'You: ', m);
   document.getElementById('rmsg').value = '';
   const r = await fetch('{endpoint}', {{method: 'POST',
     headers: {{'Content-Type': 'application/json'}},
     body: JSON.stringify({{message: m}})}});
   const j = await r.json();
-  rline(log, 'chat-msg-bot', 'Bot: ', j.reply || j.error || '');
+  chatLine(log, 'chat-msg-bot', 'Bot: ', j.reply || j.error || '');
 }}
 document.getElementById('rmsg').addEventListener('keydown',
   e => {{ if (e.key === 'Enter') rsend(); }});

@@ -249,9 +249,21 @@ class Trainer:
         plain replication for DP."""
         if self._sharded_model:
             from deepfake_video_detection_tpu.parallel.strategy import (
-                place_variables)
-            return place_variables(variables, self.mesh,
-                                   self.plan.param_spec_fn)
+                place_variables, sharding_summary)
+            placed = place_variables(variables, self.mesh,
+                                     self.plan.param_spec_fn)
+            n_sh, n_tot, frac = sharding_summary(placed["params"])
+            print(f"placement [{self.plan.description}]: {n_sh}/{n_tot} "
+                  f"param leaves sharded ({frac:.0%} of param bytes)")
+            if "fsdp" in self.plan.description and n_sh == 0:
+                import warnings
+
+                warnings.warn(
+                    "--fsdp: no param leaf has a dimension divisible by the "
+                    "data-axis size — params and optimizer state are FULLY "
+                    "REPLICATED (no ZeRO-3 memory saving). Pick a data-axis "
+                    "size that divides the model's channel dims.")
+            return placed
         if self.mesh is not None:
             from deepfake_video_detection_tpu.parallel.mesh import replicate
             return replicate(variables, self.mesh)
@@ -564,19 +576,25 @@ class Trainer:
     def save(self, state: TrainState, name: str, epoch: int,
              metrics: Dict[str, Any], with_opt: bool = True):
         path = os.path.join(self.cfg.out_dir, f"{name}.npz")
-        save_checkpoint(path, state.variables, self._ckpt_meta(epoch, metrics),
+        meta = self._ckpt_meta(epoch, metrics)
+        ema = optim_mod.get_ema_params(state.opt_state) \
+            if self.cfg.ema_decay else None
+        if ema is not None:
+            # the recorded metrics were scored on the EMA weights (see
+            # _eval_variables) — tag both files so the serve loader deploys
+            # the weights that actually earned the metric, not the raw ones
+            meta = dict(meta, metrics_scored_on="ema")
+        save_checkpoint(path, state.variables, meta,
                         opt_state=state.opt_state if with_opt else None,
                         step=int(state.step))
-        if self.cfg.ema_decay:
+        if ema is not None:
             # servable EMA weights as params (the ones validation scored);
             # the raw checkpoint above still resumes exactly (the EMA slot
             # rides along inside opt_state)
-            ema = optim_mod.get_ema_params(state.opt_state)
-            if ema is not None:
-                save_checkpoint(
-                    os.path.join(self.cfg.out_dir, f"{name}_ema.npz"),
-                    {"params": ema, "state": state.model_state},
-                    self._ckpt_meta(epoch, metrics), step=int(state.step))
+            save_checkpoint(
+                os.path.join(self.cfg.out_dir, f"{name}_ema.npz"),
+                {"params": ema, "state": state.model_state},
+                meta, step=int(state.step))
         if self.cfg.keep_torch_export:
             try:
                 save_torch_checkpoint(

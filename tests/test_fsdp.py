@@ -173,6 +173,35 @@ def test_fsdp_step_matches_single_device():
     # updated params KEEP the FSDP sharding (no silent re-replication)
     assert s8.params["proj"]["weight"].sharding.spec == P("data")
 
+    # ---- FSDP x TP composed: 2-D weight sharding, same numerics ----------
+    mesh2 = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                 ("data", "model"))
+
+    def tiny_tp(path, shape=None):
+        if path == "proj.weight":
+            return P("model", None)   # (8,3): split output features
+        if path == "head.weight":
+            return P(None, "model")   # (2,8): split the contraction dim
+        return P()
+
+    spec2 = strategy.make_fsdp_spec_fn(2, base=tiny_tp, min_size=1)
+    assert spec2("head.weight", (2, 8)) == P("data", "model")
+    placed2 = strategy.place_variables(host_vars, mesh2, spec2)
+    hw = placed2["params"]["head"]["weight"]
+    assert hw.sharding.spec == P("data", "model")
+    assert hw.addressable_shards[0].data.shape == (1, 2)  # 2-D split
+    state2 = TrainState.create(placed2, tx)
+    batch2 = {
+        "frames": jax.device_put(frames, NamedSharding(mesh2, P("data"))),
+        "labels": jax.device_put(labels, NamedSharding(mesh2, P("data"))),
+    }
+    with mesh2:
+        s2, m2 = step(state2, batch2, jax.random.PRNGKey(1))
+    assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(s2.params["head"]["weight"]),
+                               np.asarray(s1.params["head"]["weight"]),
+                               rtol=1e-5, atol=1e-6)
+
 
 # ---------------------------------------------------------------- CLI e2e
 

@@ -136,3 +136,40 @@ def test_loader_honors_compute_dtype_env(tmp_path, monkeypatch, caplog):
                          logger="deepfake_video_detection_tpu.serve.loader"):
         assert loader.serving_dtype() == jnp.float32
     assert any("COMPUTE_DTYPE" in r.message for r in caplog.records)
+
+
+def test_load_model_prefers_ema_sibling(tmp_path):
+    """A checkpoint whose meta says metrics were scored on the EMA weights
+    (``metrics_scored_on: ema``, written by the trainer under --ema_decay)
+    must serve the sibling *_ema.npz — the weights that actually earned the
+    recorded metrics — not the raw training params."""
+    model = CNNLSTMHybrid()
+    v = model.init(jax.random.PRNGKey(0))
+    raw = tmp_path / "checkpoint_best.npz"
+    save_checkpoint(str(raw), v,
+                    meta={"model_config": {"model_type": "cnn_lstm"},
+                          "metrics_scored_on": "ema"})
+    # EMA weights: recognisably different on one leaf
+    v_ema = jax.tree_util.tree_map(lambda x: np.array(x, copy=True), v)
+    leaf = v_ema["params"]["classifier"]["0"]["weight"]
+    v_ema["params"]["classifier"]["0"]["weight"] = leaf * 0.0 + 7.0
+    save_checkpoint(str(tmp_path / "checkpoint_best_ema.npz"), v_ema,
+                    meta={"model_config": {"model_type": "cnn_lstm"},
+                          "metrics_scored_on": "ema"})
+    _, variables, stats = loader.load_model(str(raw))
+    got = np.asarray(variables["params"]["classifier"]["0"]["weight"])
+    np.testing.assert_allclose(got, 7.0)
+    assert stats["match_ratio"] == 1.0
+
+
+def test_load_model_ema_meta_without_sibling_serves_raw(tmp_path):
+    """Missing *_ema.npz: fall back to the raw weights (with a warning) —
+    never fail the load."""
+    model = CNNLSTMHybrid()
+    v = model.init(jax.random.PRNGKey(1))
+    raw = tmp_path / "checkpoint_best.npz"
+    save_checkpoint(str(raw), v,
+                    meta={"model_config": {"model_type": "cnn_lstm"},
+                          "metrics_scored_on": "ema"})
+    _, variables, stats = loader.load_model(str(raw))
+    assert stats["match_ratio"] == 1.0

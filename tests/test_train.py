@@ -561,6 +561,12 @@ def test_trainer_ema_end_to_end(npz_dir, tmp_path):
     from deepfake_video_detection_tpu.checkpoint.store import load_checkpoint
     variables, meta = load_checkpoint(best_ema)
     assert "head" in variables["params"]
+    # both files are tagged with WHICH weights earned the recorded metrics,
+    # so the serve loader can deploy the EMA sibling (test_loader.py)
+    assert meta.get("metrics_scored_on") == "ema"
+    _, meta_raw = load_checkpoint(os.path.join(cfg.out_dir,
+                                               "checkpoint_best.npz"))
+    assert meta_raw.get("metrics_scored_on") == "ema"
 
     # resume: the EMA slot comes back through opt_state
     t2 = Trainer(TinyDetector(), train_ds, val_ds, cfg, mesh=mesh)
