@@ -23,10 +23,13 @@ inside the prefetch transform; the host loop only does IO and metrics.
 
 from __future__ import annotations
 
+import contextlib
 import csv
 import functools
 import json
 import os
+import signal
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional
@@ -614,50 +617,81 @@ class Trainer:
             return -float(metrics.get("val_loss", np.inf)), key
         return float(metrics.get(key, 0.0)), key
 
+    @staticmethod
+    @contextlib.contextmanager
+    def _sigterm_as_interrupt():
+        """Preemption tolerance: TPU pods (GKE/Borg evictions, spot VMs)
+        deliver SIGTERM with a grace window before the kill — convert it to
+        ``KeyboardInterrupt`` so the interrupt-checkpoint path below runs
+        and the job resumes where it left off. The signal API is
+        main-thread-only; in worker threads (e.g. a serving-side retrain)
+        this is a no-op and Ctrl-C semantics alone apply."""
+        if threading.current_thread() is not threading.main_thread():
+            yield
+            return
+        prev = signal.getsignal(signal.SIGTERM)
+
+        def _raise(signum, frame):
+            raise KeyboardInterrupt("SIGTERM (preemption)")
+
+        signal.signal(signal.SIGTERM, _raise)
+        try:
+            yield
+        finally:
+            signal.signal(signal.SIGTERM, prev)
+
     def train(self, state: Optional[TrainState] = None,
               log: Callable[[str], None] = print) -> TrainState:
         state = state if state is not None else self.init_state()
-        try:
-            for epoch in range(self.start_epoch, self.cfg.epochs):
-                state, train_m = self.train_epoch(state, epoch)
-                val_m = self.validate(state, epoch)
-                value, key = self._metric_value(val_m)
+        epoch = self.start_epoch
+        with self._sigterm_as_interrupt():
+            try:
+                for epoch in range(self.start_epoch, self.cfg.epochs):
+                    state, train_m = self.train_epoch(state, epoch)
+                    val_m = self.validate(state, epoch)
+                    value, key = self._metric_value(val_m)
 
-                row = {"epoch": epoch, **train_m,
-                       **{k: v for k, v in val_m.items() if k != "confusion"}}
-                self.history.append(row)
-                self._write_history()
-                if self.cfg.threshold_sweep:
-                    is_best_sweep = self.best_value is None or value > self.best_value
-                    if is_best_sweep:
-                        self._write_calibration(val_m, epoch)
+                    row = {"epoch": epoch, **train_m,
+                           **{k: v for k, v in val_m.items() if k != "confusion"}}
+                    self.history.append(row)
+                    self._write_history()
+                    if self.cfg.threshold_sweep:
+                        is_best_sweep = (self.best_value is None
+                                         or value > self.best_value)
+                        if is_best_sweep:
+                            self._write_calibration(val_m, epoch)
 
-                if self.plateau is not None:
-                    factor = self.plateau.update(val_m["val_loss"])
-                    state.opt_state.hyperparams["plateau_factor"] = jnp.asarray(factor)
+                    if self.plateau is not None:
+                        factor = self.plateau.update(val_m["val_loss"])
+                        state.opt_state.hyperparams["plateau_factor"] = (
+                            jnp.asarray(factor))
 
-                if self.cfg.save_every and (epoch + 1) % self.cfg.save_every == 0:
-                    self.save(state, f"checkpoint_epoch_{epoch}", epoch, val_m)
-                if self.best_value is None or value > self.best_value:
-                    self.best_value = value
-                    self.best_epoch = epoch
-                    self.save(state, "checkpoint_best", epoch, val_m)
-                    self.save(state, f"checkpoint_best_epoch_{epoch}", epoch, val_m,
-                              with_opt=False)
+                    if self.cfg.save_every and (epoch + 1) % self.cfg.save_every == 0:
+                        self.save(state, f"checkpoint_epoch_{epoch}", epoch, val_m)
+                    if self.best_value is None or value > self.best_value:
+                        self.best_value = value
+                        self.best_epoch = epoch
+                        self.save(state, "checkpoint_best", epoch, val_m)
+                        self.save(state, f"checkpoint_best_epoch_{epoch}", epoch,
+                                  val_m, with_opt=False)
 
-                log(f"epoch {epoch}: loss={train_m['train_loss']:.4f} "
-                    f"acc={train_m['train_acc']:.4f} val_acc={val_m['accuracy']:.4f} "
-                    f"val_f1={val_m['f1']:.4f} val_auc={val_m['auc']:.4f} "
-                    f"({key}={value:.4f}, best={self.best_value:.4f}@{self.best_epoch}) "
-                    f"[{train_m['epoch_time_s']:.1f}s]")
+                    log(f"epoch {epoch}: loss={train_m['train_loss']:.4f} "
+                        f"acc={train_m['train_acc']:.4f} val_acc={val_m['accuracy']:.4f} "
+                        f"val_f1={val_m['f1']:.4f} val_auc={val_m['auc']:.4f} "
+                        f"({key}={value:.4f}, best={self.best_value:.4f}@{self.best_epoch}) "
+                        f"[{train_m['epoch_time_s']:.1f}s]")
 
-                if self.early is not None and self.early.update(value):
-                    log(f"early stopping at epoch {epoch} "
-                        f"(no improvement for {self.early.patience})")
-                    break
-        except KeyboardInterrupt:
-            # ≙ interrupt checkpoint (``src/ensemble_trainer.py:450-461``)
-            self.save(state, "checkpoint_interrupt", -1, {})
-            log("interrupted — wrote checkpoint_interrupt.npz (resume with --resume)")
-            raise
+                    if self.early is not None and self.early.update(value):
+                        log(f"early stopping at epoch {epoch} "
+                            f"(no improvement for {self.early.patience})")
+                        break
+            except KeyboardInterrupt:
+                # ≙ interrupt checkpoint (``src/ensemble_trainer.py:450-461``),
+                # extended to SIGTERM preemption. epoch-1 in the meta makes
+                # ``resume()`` restart AT the interrupted epoch (completed
+                # epochs are never repeated; the in-progress one is).
+                self.save(state, "checkpoint_interrupt", epoch - 1, {})
+                log("interrupted — wrote checkpoint_interrupt.npz "
+                    "(resume with --resume)")
+                raise
         return state

@@ -572,3 +572,39 @@ def test_trainer_ema_end_to_end(npz_dir, tmp_path):
     t2 = Trainer(TinyDetector(), train_ds, val_ds, cfg, mesh=mesh)
     s2 = t2.resume(os.path.join(cfg.out_dir, "checkpoint_best.npz"))
     assert optim.get_ema_params(s2.opt_state) is not None
+
+
+def test_sigterm_preemption_writes_interrupt_checkpoint(npz_dir, tmp_path):
+    """TPU-pod preemption (SIGTERM with a grace window) lands the same
+    interrupt checkpoint as Ctrl-C (≙ ``src/ensemble_trainer.py:450-461``),
+    and ``resume()`` restarts AT the interrupted epoch."""
+    import signal as _signal
+
+    ds = VideoFacesDataset(npz_dir, num_frames=4)
+    train_ds, val_ds = ds.split(0.25)
+    cfg = TrainerConfig(out_dir=str(tmp_path / "pre"), epochs=5, batch_size=8,
+                        num_frames=4, lr=1e-2, augment=False,
+                        threshold_sweep=False)
+    trainer = Trainer(TinyDetector(), train_ds, val_ds, cfg)
+    prev_handler = _signal.getsignal(_signal.SIGTERM)
+
+    epochs_logged = []
+
+    def log(msg):
+        if msg.startswith("epoch"):
+            epochs_logged.append(msg)
+            if len(epochs_logged) == 2:      # deliver mid-run, inside epoch 1
+                os.kill(os.getpid(), _signal.SIGTERM)
+
+    with pytest.raises(KeyboardInterrupt):
+        trainer.train(log=log)
+
+    # the previous SIGTERM disposition is restored on exit
+    assert _signal.getsignal(_signal.SIGTERM) == prev_handler
+
+    ckpt = os.path.join(cfg.out_dir, "checkpoint_interrupt.npz")
+    assert os.path.exists(ckpt)
+    t2 = Trainer(TinyDetector(), train_ds, val_ds, cfg)
+    t2.resume(ckpt)
+    # epoch 0 completed, epoch 1 was in flight → resume re-runs epoch 1
+    assert t2.start_epoch == 1
