@@ -295,6 +295,10 @@ def main() -> None:
     # CONCURRENTLY through the relay (measured ~2× effective bandwidth vs
     # serial puts) and overlap both decode and compute.
     decode_workers = int(os.environ.get("BENCH_DECODE_WORKERS", 3))
+    # BENCH_DISPATCH=thread moves upload AND forward dispatch into the
+    # transfer threads (main thread only shepherds decode futures);
+    # =main keeps dispatch on the main thread between decode waits.
+    dispatch_mode = os.environ.get("BENCH_DISPATCH", "main")
 
     def run_once() -> float:
         import collections
@@ -322,17 +326,28 @@ def main() -> None:
                 while uploads and uploads[0].done():
                     outs.append(jfn(variables, uploads.popleft().result()))
 
+            def upload_and_forward(buf):
+                return jfn(variables, jax.device_put(buf))
+
             for b in range(n_batches):
                 for f in futs[b]:
                     f.result()
-                    flush_ready()
+                    if dispatch_mode == "main":
+                        flush_ready()
                 k = len(futs[b])
                 if k < BATCH:  # tail batch: repeat-pad the unused slots
                     bufs[b][k:] = bufs[b][k - 1]
-                uploads.append(xfer_pool.submit(jax.device_put, bufs[b]))
-                flush_ready()
-            while uploads:  # drain remaining uploads in order
-                outs.append(jfn(variables, uploads.popleft().result()))
+                if dispatch_mode == "thread":
+                    uploads.append(xfer_pool.submit(upload_and_forward,
+                                                    bufs[b]))
+                else:
+                    uploads.append(xfer_pool.submit(jax.device_put, bufs[b]))
+                    flush_ready()
+            if dispatch_mode == "thread":
+                outs = [u.result() for u in uploads]
+            else:
+                while uploads:  # drain remaining uploads in order
+                    outs.append(jfn(variables, uploads.popleft().result()))
             # hard sync: fetch a scalar from every step — concurrently, so
             # the relay round-trips overlap instead of paying 1 RTT/batch
             _ = sum(xfer_pool.map(lambda o: float(np.asarray(o[0]).sum()),
