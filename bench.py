@@ -360,7 +360,10 @@ def main() -> None:
     # docs/performance.md "Relay variance"). Sample additional 3-run groups
     # spaced ~20 s apart until the number stops improving or the time
     # budget runs out, so one unlucky window can't set the recorded figure.
-    budget = float(os.environ.get("BENCH_TIME_BUDGET_S", 240))
+    # 420 s default: the stale-exit ends good-weather runs in ~2 groups;
+    # the extra headroom only spends when early windows are bad (measured
+    # >10x swings between windows — docs/performance.md "Relay variance")
+    budget = float(os.environ.get("BENCH_TIME_BUDGET_S", 420))
     deadline = time.time() + budget
     dt = min(run_once() for _ in range(5))
     stale = 0

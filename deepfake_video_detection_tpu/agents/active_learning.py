@@ -84,3 +84,73 @@ class ActiveLearner:
     def should_retrain(self) -> bool:
         """≙ retrain trigger at ≥ threshold labels (``:111``)."""
         return self.labeled_count() >= self.retrain_threshold
+
+    def export_labeled_dataset(self, out_dir: str,
+                               videos_dir: Optional[str] = None,
+                               extractor: Optional[object] = None,
+                               num_frames: int = 16) -> Dict[str, int]:
+        """Close the loop the reference leaves open: materialize the
+        labelled queue into per-video ``.npz`` face stacks (the framework's
+        dataset format, ``data/dataset.py``) so the serving model can be
+        fine-tuned on them directly::
+
+            python -m deepfake_video_detection_tpu.train.cli_improved \\
+                --data_dir <out_dir> --init-from <serving checkpoint>
+
+        The reference stops at the retrain *recommendation*
+        (``src/active_learning.py:111``); this produces the training set.
+
+        Each labelled record resolves to its source video as: an existing
+        path in ``video_path``/``video_id``, else ``videos_dir/<video_id>``
+        (serving queues the upload's basename). Faces are extracted with
+        ``extractor`` (default: a fresh ``FaceExtractor`` honouring the
+        ``FACE_DETECTOR`` fallback chain). Returns
+        ``{"exported": n, "skipped": m}`` — skipped = source video gone or
+        no faces found.
+        """
+        import numpy as np
+
+        if extractor is None:
+            from deepfake_video_detection_tpu.data.faces import FaceExtractor
+            extractor = FaceExtractor()
+        os.makedirs(out_dir, exist_ok=True)
+        exported = skipped = 0
+        if not os.path.exists(self.labeled_path):
+            return {"exported": 0, "skipped": 0}
+        with open(self.labeled_path, "r", encoding="utf-8") as f:
+            for i, line in enumerate(f):
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "label" not in rec:
+                    continue
+                vid = str(rec.get("video_path") or rec.get("video_id") or "")
+                path = vid if os.path.exists(vid) else (
+                    os.path.join(videos_dir, vid) if videos_dir else vid)
+                if not vid or not os.path.exists(path):
+                    skipped += 1
+                    continue
+                try:
+                    faces = extractor.extract_from_video(
+                        path, max_frames=num_frames)
+                except Exception:
+                    logger.exception("active-learning export: decode failed "
+                                     "for %s", path)
+                    faces = None
+                if faces is None or faces.shape[0] == 0:
+                    skipped += 1
+                    continue
+                label = int(rec["label"])
+                stem = os.path.splitext(os.path.basename(path))[0]
+                np.savez_compressed(
+                    os.path.join(
+                        out_dir,
+                        f"{stem}_al{i}_{'fake' if label else 'real'}.npz"),
+                    faces=faces, label=np.int64(label))
+                exported += 1
+        if self.telemetry and exported:
+            self.telemetry.log_event({"event": "active_dataset_exported",
+                                      "exported": exported,
+                                      "skipped": skipped})
+        return {"exported": exported, "skipped": skipped}

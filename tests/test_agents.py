@@ -134,3 +134,41 @@ def test_enhanced_agent_confidence_clamped_with_calibrated_threshold():
                                       "v", 0.0)
     assert p.is_fake is True
     assert 0.0 <= p.confidence <= 1.0
+
+
+def test_active_learner_export_and_finetune_dataset(tmp_path):
+    """The labelled queue materializes into the framework's .npz dataset
+    format (faces + label) so a warm-start fine-tune can consume it —
+    closing the retrain loop the reference only recommends
+    (src/active_learning.py:111)."""
+    from deepfake_video_detection_tpu.data.dataset import VideoFacesDataset
+    from deepfake_video_detection_tpu.data.faces import FaceExtractor
+    from deepfake_video_detection_tpu.data.video import encode_video
+
+    vids = tmp_path / "uploads"
+    vids.mkdir()
+    rng = np.random.default_rng(0)
+    for name in ("clip_f.avi", "clip_r.avi"):
+        frames = rng.integers(0, 255, (12, 64, 64, 3)).astype(np.uint8)
+        encode_video(str(vids / name), frames, fps=10)
+
+    al = ActiveLearner(str(tmp_path / "q.jsonl"), str(tmp_path / "l.jsonl"))
+    # serving queues the upload BASENAME as video_id (serve/predict.py)
+    al.queue_for_label({"video_id": "clip_f.avi", "confidence": 0.1})
+    al.queue_for_label({"video_id": "clip_r.avi", "confidence": 0.2})
+    al.queue_for_label({"video_id": "gone.avi", "confidence": 0.3})
+    labels = {"clip_f.avi": 1, "clip_r.avi": 0, "gone.avi": 1}
+    assert al.process_queue_with_label_provider(lambda v: labels.get(v)) == 3
+
+    out_dir = tmp_path / "al_dataset"
+    stats = al.export_labeled_dataset(
+        str(out_dir), videos_dir=str(vids),
+        extractor=FaceExtractor(detector="center", face_size=32),
+        num_frames=4)
+    assert stats == {"exported": 2, "skipped": 1}
+
+    ds = VideoFacesDataset(str(out_dir), num_frames=4)
+    assert len(ds) == 2
+    assert sorted(ds.labels().tolist()) == [0, 1]
+    faces, label, _ = ds[0]
+    assert faces.shape == (4, 32, 32, 3) and faces.dtype == np.uint8
