@@ -10,6 +10,7 @@ per-epoch + best-by-F1 checkpoints, ``preds_epoch_N.csv``, ``--resume``,
 from __future__ import annotations
 
 import argparse
+import os
 
 import jax
 
@@ -96,6 +97,14 @@ def main(argv=None) -> int:
     ap.add_argument("--cache-clips", dest="cache_clips", action="store_true",
                     help="with --from-videos: decode each clip once and "
                          "keep faces in host memory across epochs")
+    ap.add_argument("--progressive", action="store_true",
+                    help="3-stage progressive fine-tune for --model "
+                         "pretrained (head-only lr 1e-3 → last-2-blocks "
+                         "lr 1e-4 → full lr 1e-5; ≙ ProgressiveFineTuner, "
+                         "reference src/pretrained_detector.py:221-274, "
+                         "which ships without a driver)")
+    ap.add_argument("--epochs_per_stage", type=int, default=5,
+                    help="epochs per progressive stage (with --progressive)")
     ap.add_argument("--d_model", type=int, default=256,
                     help="temporal model width")
     ap.add_argument("--depth", type=int, default=4,
@@ -140,6 +149,20 @@ def main(argv=None) -> int:
         ema_decay=args.ema_decay,
         model_config=model_config,
     )
+    if args.progressive:
+        if args.model != "pretrained":
+            ap.error("--progressive requires --model pretrained")
+        if plan is not None and not plan.pure_dp:
+            ap.error("--progressive composes with data parallelism only; "
+                     "drop the model-parallel flags")
+        if args.ema_decay:
+            ap.error("--progressive rebuilds the optimizer per stage and "
+                     "does not carry the EMA slot; drop --ema_decay")
+        return _run_progressive(args, model, train_ds, val_ds, cfg,
+                                plan.mesh if plan is not None else
+                                (make_mesh() if len(jax.devices()) > 1
+                                 else None))
+
     if plan is not None:
         print(f"parallelism plan: {plan.description} over "
               f"{plan.mesh.devices.size} devices")
@@ -152,6 +175,45 @@ def main(argv=None) -> int:
     if resume:
         state = trainer.resume(resume)
     trainer.train(state)
+    return 0
+
+
+def _run_progressive(args, model, train_ds, val_ds, cfg, mesh) -> int:
+    """Drive the 3-stage progressive schedule through the standard Trainer:
+    each stage gets a fresh masked-AdamW optimizer at the stage lr
+    (freezing = zeroed updates, so the jitted step shape never changes) and
+    warm-starts from the previous stage's best checkpoint. The final best
+    is mirrored to ``<out_dir>/checkpoint_best.npz`` for the serving
+    loader's autoload glob."""
+    import shutil
+    from dataclasses import replace
+
+    from deepfake_video_detection_tpu.train.progressive import (
+        ProgressiveFineTuner)
+
+    ft = ProgressiveFineTuner(model, epochs_per_stage=args.epochs_per_stage)
+    template = model.init(jax.random.PRNGKey(cfg.seed))
+    prev_best = args.resume or args.checkpoint  # stage-0 warm start, if any
+    while True:
+        sc = ft.get_stage_config()
+        tx = ft.make_optimizer(template)
+        stage_cfg = replace(
+            cfg, lr=sc["lr"], epochs=sc["epochs"], schedule="const",
+            ema_decay=None,
+            out_dir=os.path.join(cfg.out_dir,
+                                 f"stage{sc['stage']}_{sc['name']}"))
+        trainer = Trainer(model, train_ds, val_ds, stage_cfg, mesh=mesh,
+                          tx=tx)
+        state = trainer.warm_start(prev_best) if prev_best else None
+        print(f"progressive stage {sc['stage']} ({sc['name']}): "
+              f"lr={sc['lr']:g}, epochs={sc['epochs']}, "
+              f"unfreeze_blocks={sc['unfreeze_blocks']}")
+        trainer.train(state)
+        prev_best = os.path.join(stage_cfg.out_dir, "checkpoint_best.npz")
+        if not ft.advance_stage():
+            break
+    shutil.copyfile(prev_best, os.path.join(cfg.out_dir,
+                                            "checkpoint_best.npz"))
     return 0
 
 

@@ -116,6 +116,7 @@ class Trainer:
         mesh: Optional[Any] = None,
         fake_index: int = 1,
         plan: Optional[Any] = None,
+        tx: Optional[Any] = None,
     ):
         """``plan`` (``parallel.strategy.ParallelPlan``): a non-DP sharding
         strategy — TP/SP/PP/EP meshes with per-leaf param placements and
@@ -123,7 +124,13 @@ class Trainer:
         ``in_shardings`` (mesh=None) so the placements set here propagate
         through XLA — the exact wiring ``__graft_entry__.dryrun_multichip``
         validates. ``mesh`` alone keeps the pure data-parallel round-2
-        behavior."""
+        behavior.
+
+        ``tx``: an externally-built optax transform overriding the one this
+        config would build — used by progressive fine-tuning, whose stages
+        carry frozen-leaf gradient masks (``train/progressive.py``). The
+        config's ``schedule``/``optimizer``/``ema_decay`` fields are ignored
+        when ``tx`` is given."""
         self.model = model
         self.train_ds = train_ds
         self.val_ds = val_ds
@@ -176,9 +183,9 @@ class Trainer:
                                                    steps_per_epoch=steps_per_epoch)
         else:
             sched = config.lr
-        self.tx = optim_mod.build_optimizer(config.optimizer, sched,
-                                            config.weight_decay, config.grad_clip,
-                                            ema_decay=config.ema_decay)
+        self.tx = tx if tx is not None else optim_mod.build_optimizer(
+            config.optimizer, sched, config.weight_decay, config.grad_clip,
+            ema_decay=config.ema_decay)
         self.plateau = optim_mod.ReduceLROnPlateau(
             mode="min", patience=config.plateau_patience) if config.plateau else None
         self.early = optim_mod.EarlyStopping(config.early_stopping_patience) \

@@ -244,3 +244,38 @@ def test_tp_rules_match_dryrun():
     assert strategy.tp_param_pspec("fc2.weight") == P()
     assert strategy.pp_param_pspec("blocks.mlp.w1") == P("stage")
     assert strategy.pp_param_pspec("head.weight") == P()
+
+
+def test_cli_progressive_finetune(npz_dir, tmp_path):
+    """--progressive: the 3-stage schedule (head-only → last-2-blocks →
+    full, ≙ ProgressiveFineTuner src/pretrained_detector.py:221-274) drives
+    end-to-end through the CLI; every stage trains with finite losses and
+    the final best checkpoint is mirrored to out_dir for the serving
+    loader's glob. Head-only stage must leave backbone params untouched."""
+    out = str(tmp_path / "prog")
+    rc = cli.main(["--data_dir", npz_dir, "--model", "pretrained",
+                   "--out_dir", out, "--progressive",
+                   "--epochs_per_stage", "1", "--batch_size", "8",
+                   "--num_frames", "8", "--no-augment"])
+    assert rc == 0
+
+    stage_dirs = sorted(d for d in os.listdir(out) if d.startswith("stage"))
+    assert stage_dirs == ["stage0_head_only", "stage1_partial_unfreeze",
+                          "stage2_full_finetune"]
+    for d in stage_dirs:
+        _assert_trained(os.path.join(out, d), epochs=1)
+    assert os.path.exists(os.path.join(out, "checkpoint_best.npz"))
+
+    # freezing is real: stage-0 best has the INIT backbone stem (seed 42),
+    # head leaves moved
+    from deepfake_video_detection_tpu.models.backbone_detector import (
+        BackboneDetector)
+    init = BackboneDetector("efficientnet_b0").init(jax.random.PRNGKey(42))
+    v0, _ = load_checkpoint(os.path.join(out, "stage0_head_only",
+                                         "checkpoint_best.npz"))
+    stem0 = np.asarray(v0["params"]["backbone"]["conv_stem"]["weight"])
+    stem_init = np.asarray(init["params"]["backbone"]["conv_stem"]["weight"])
+    np.testing.assert_array_equal(stem0, stem_init)
+    head0 = np.asarray(v0["params"]["fc1"]["weight"])
+    head_init = np.asarray(init["params"]["fc1"]["weight"])
+    assert np.abs(head0 - head_init).max() > 0
