@@ -163,6 +163,11 @@ class ParallelPlan:
     # data * pp_microbatches under GPipe (each microbatch must still split
     # over the data axis)
     batch_multiple: int = 1
+    # scan-of-steps (--steps_per_call) composes with plain-batch-layout
+    # plans (dp / tp / fsdp: every batch leaf shards P(None, "data") with a
+    # leading k axis); model-internal shard_map modes (sp / pp / ep) stay
+    # single-step
+    scan_of_steps_ok: bool = True
 
     def batch_spec(self, key: str) -> P:
         return self.batch_specs.get(key, P("data"))
@@ -359,5 +364,7 @@ def build_plan(args: argparse.Namespace, model_name: str, num_frames: int,
         batch_multiple = data * int(getattr(args, "pp_microbatches", 2))
     plan = ParallelPlan(mesh=mesh, param_spec_fn=param_spec_fn,
                         batch_specs=batch_specs, pure_dp=pure_dp,
-                        description=desc, batch_multiple=batch_multiple)
+                        description=desc, batch_multiple=batch_multiple,
+                        scan_of_steps_ok=second is None
+                        or second[0] == "model")
     return plan, model_kwargs

@@ -141,11 +141,12 @@ class Trainer:
         self.mesh = mesh
         self._sharded_model = plan is not None and not plan.pure_dp
         self._batch_specs = plan.batch_spec if self._sharded_model else None
-        if self._sharded_model and config.steps_per_call > 1:
+        if self._sharded_model and config.steps_per_call > 1 \
+                and not getattr(plan, "scan_of_steps_ok", False):
             raise ValueError(
-                "steps_per_call > 1 (scan-of-steps) currently supports the "
-                "pure data-parallel path only — drop --steps_per_call or "
-                "the model-parallel flags")
+                "steps_per_call > 1 (scan-of-steps) composes with dp / tp / "
+                "fsdp plans only — drop --steps_per_call or the "
+                "--seq/--pp_stages/--moe_experts flags")
         self.fake_index = fake_index
         self.history: List[Dict[str, Any]] = []
         self.best_value: Optional[float] = None
@@ -240,9 +241,12 @@ class Trainer:
         # steps.make_multi_step for why this matters on dispatch-bound hosts
         self.multi_step = None
         if config.steps_per_call > 1:
+            # sharded plans (fsdp/tp) compile with mesh=None like the single
+            # step above: the FSDP/TP param placements propagate through the
+            # scan, and XLA keeps the per-step all-gathers/reduce-scatters
             self.multi_step = make_multi_step(
-                model, self.tx, self.loss_fn, config.steps_per_call, mesh,
-                remat=config.remat, prep=_prep_train)
+                model, self.tx, self.loss_fn, config.steps_per_call,
+                step_mesh, remat=config.remat, prep=_prep_train)
 
     # ------------------------------------------------------------------
     # state init / resume
