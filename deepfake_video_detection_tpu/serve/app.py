@@ -27,7 +27,8 @@ Routes (≙ ``app.py:2481-3259``):
   GET  /api/metrics         per-epoch metrics recomputed from preds CSVs
   POST /api/load-model      load a checkpoint by path
   POST /api/predict         API predict (multipart or path)
-  GET  /api/model-info      loader stats
+  GET  /api/model-info      loader stats + device
+  GET  /api/checkpoints     ranked loadable checkpoints (dashboard dropdown)
 
 Startup autoload mirrors ``_attempt_autoload`` (``app.py:643-675``); disable
 with ``--no-autoload`` / ``NO_AUTOLOAD=1``.
@@ -688,9 +689,17 @@ class App:
 
         @self.route("GET", r"/api/model-info")
         def model_info(req):
+            try:
+                import jax
+
+                device = jax.devices()[0].platform
+            except Exception:
+                device = "unknown"
             info = {
                 "loaded": app.predictor is not None,
                 "model_type": getattr(app.predictor, "model_type", None),
+                "checkpoint": getattr(app.predictor, "checkpoint_path", None),
+                "device": device,
                 "load_stats": loader_mod.LAST_LOAD_STATS,
             }
             mb = getattr(app.predictor, "_batcher", None)
@@ -702,6 +711,17 @@ class App:
                     if mb.batches_run else None,
                 }
             return Response.json(info)
+
+        @self.route("GET", r"/api/checkpoints")
+        def api_checkpoints(req):
+            # Ranked loadable checkpoints for the dashboard's model panel
+            # dropdown (the reference's app.js reads a #checkpoint-select it
+            # never populates, static/js/app.js:190 — here the list is
+            # served, ranked by the autoload score).
+            paths = loader_mod.rank_checkpoints_for_autoload(
+                app.checkpoints_root)
+            current = getattr(app.predictor, "checkpoint_path", None)
+            return Response.json({"checkpoints": paths, "current": current})
 
         @self.route("POST", r"/api/load-model")
         def api_load_model(req):
@@ -802,8 +822,19 @@ def get_training_metrics(root: str = "checkpoints") -> Dict[str, Any]:
             continue
         import numpy as np
 
-        stats = binary_metrics(np.asarray(labels), np.asarray(preds))
-        stats["auc"] = roc_auc(np.asarray(labels), np.asarray(probs))
+        la, pa = np.asarray(labels), np.asarray(preds)
+        stats = binary_metrics(la, pa)
+        stats["auc"] = roc_auc(la, np.asarray(probs))
+        # 2x2 confusion matrix [[TN, FP], [FN, TP]] + sample count, consumed
+        # by the dashboard's per-epoch confusion grid and metrics table
+        # (≙ renderConfusionMatrices/renderMetricsTable,
+        # static/js/app.js:115-153)
+        stats["confusion_matrix"] = [
+            [int(np.sum((la == 0) & (pa == 0))),
+             int(np.sum((la == 0) & (pa == 1)))],
+            [int(np.sum((la == 1) & (pa == 0))),
+             int(np.sum((la == 1) & (pa == 1)))]]
+        stats["total_samples"] = int(la.size)
         epochs.append({"epoch": int(m.group(1)), **stats})
     epochs.sort(key=lambda e: e["epoch"])
     return {"epochs": epochs}

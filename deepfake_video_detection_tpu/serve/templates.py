@@ -61,6 +61,43 @@ pre { white-space: pre-wrap; }
 .dropzone.drag { border-color: #4c6ef5; background: #101937; }
 .legend-item { cursor: pointer; user-select: none; }
 .legend-item.off { opacity: 0.35; }
+.tabbar { display: flex; gap: .5rem; margin-bottom: 1.25rem; }
+.tab-btn { background: #131a2e; color: #8b93a7; border: 1px solid #232d4a; }
+.tab-btn.active { background: #3b5bdb; color: #fff; border-color: #3b5bdb; }
+.tab-content { display: none; }
+.tab-content.active { display: block; }
+.alert { display: none; padding: .7rem 1rem; border-radius: 8px;
+         margin-bottom: 1rem; }
+.alert-error { background: #3b1420; color: #ff8787; border: 1px solid #9e2b25; }
+.alert-success { background: #11301f; color: #8ce99a; border: 1px solid #2c6e49; }
+.progress-track { height: 8px; background: #0d1322; border-radius: 4px;
+                  overflow: hidden; margin: .6rem 0; }
+.progress-fill { height: 100%; width: 0; background: #4c6ef5;
+                 transition: width .3s; }
+.cm-grid { display: flex; flex-wrap: wrap; gap: 1rem; }
+.cm { background: #0d1322; border: 1px solid #232d4a; border-radius: 8px;
+      padding: .6rem .8rem; }
+.cm table { width: auto; }
+.cm td, .cm th { border: 1px solid #232d4a; text-align: center;
+                 padding: .3rem .7rem; }
+.cm .cm-head { color: #8b93a7; font-size: .8rem; }
+.info-item { padding: .3rem 0; }
+.info-item .label { color: #8b93a7; margin-right: .5rem; }
+.chat-launcher { position: fixed; right: 1.2rem; bottom: 1.2rem;
+                 border-radius: 999px; padding: .7rem 1.2rem; z-index: 10;
+                 box-shadow: 0 4px 18px #0008; }
+.chat-panel { display: none; position: fixed; right: 1.2rem; bottom: 4.4rem;
+              width: min(22rem, calc(100vw - 2.4rem)); background: #131a2e;
+              border: 1px solid #232d4a; border-radius: 12px; z-index: 10;
+              box-shadow: 0 8px 30px #000a; }
+.chat-panel.open { display: block; }
+.chat-head { display: flex; align-items: center; gap: .5rem;
+             padding: .6rem .9rem; border-bottom: 1px solid #232d4a; }
+.chat-head .title { font-weight: 700; margin-right: auto; }
+.chat-head button { background: none; padding: .1rem .4rem; color: #8b93a7; }
+.chat-body { padding: .6rem .9rem; }
+.chat-foot { display: flex; gap: .5rem; padding: .6rem .9rem;
+             border-top: 1px solid #232d4a; }
 """
 
 
@@ -130,6 +167,44 @@ explanation.</p>
                  starfield=True)
 
 
+# Educational chrome ≙ the reference's ``ui.html`` info sections
+# (:502-598: Understanding Deepfakes / Detection Challenges / Key Detection
+# Methods card grids); content written for this framework.
+_INFO_SECTIONS = """
+<div class="card"><h2>Understanding deepfakes</h2>
+<p>Deepfakes swap or re-animate a face with a generative model. The seams
+are subtle — slightly wrong blinking, lighting that disagrees with the
+scene, compression artifacts that cluster around the blended region — and
+they get harder to spot every year.</p></div>
+<div class="card"><h2>Why detection is hard</h2>
+<table>
+<tr><td><b>Video quality</b></td><td>Re-compression and low resolution
+destroy many of the tell-tale artifacts detectors rely on.</td></tr>
+<tr><td><b>Generator evolution</b></td><td>Every new generation of forgery
+models removes the artifacts the last generation of detectors learned.</td></tr>
+<tr><td><b>Speed vs accuracy</b></td><td>Scanning every frame of every
+upload at full resolution is expensive; sampling must not miss the
+manipulated segment.</td></tr>
+<tr><td><b>Diverse artifacts</b></td><td>Face swaps, re-enactment, and
+full-frame synthesis each leave different fingerprints.</td></tr>
+</table></div>
+<div class="card"><h2>How this detector works</h2>
+<table>
+<tr><td><b>Facial analysis</b></td><td>Faces are detected and cropped per
+frame (MTCNN cascade with a Haar fallback), so the model sees the region
+where manipulation happens.</td></tr>
+<tr><td><b>Frequency cues</b></td><td>Training augmentation includes
+DCT-domain JPEG simulation, forcing the backbone to rely on cues that
+survive compression.</td></tr>
+<tr><td><b>Temporal coherence</b></td><td>A temporal attention head fuses
+evidence across sampled frames and reports which frames drove the
+verdict.</td></tr>
+<tr><td><b>Ensembles &amp; calibration</b></td><td>Multiple backbones can
+vote, and a threshold sweep from training calibrates the final real/fake
+decision with an abstention band.</td></tr>
+</table></div>"""
+
+
 def about_page(user: Optional[str]) -> str:
     return _page("About", """
 <div class="card"><h2>About</h2>
@@ -137,7 +212,8 @@ def about_page(user: Optional[str]) -> str:
 runs them through a convolutional backbone compiled for TPUs. A temporal
 attention head fuses per-frame evidence into a single verdict, thresholded by
 a calibration sweep from training. An agent layer adds uncertainty-aware
-alerts, abstention, and monitoring.</p></div>""", user, starfield=True)
+alerts, abstention, and monitoring.</p></div>""" + _INFO_SECTIONS, user,
+                 starfield=True)
 
 
 def ui_page(user: Optional[str]) -> str:
@@ -192,7 +268,7 @@ async function analyze(file) {
       JSON.stringify(j, null, 2) + '</pre></details>';
   } catch (err) { out.innerHTML = '<p class="verdict-unsure">' + err + '</p>'; }
 }
-</script>""", user)
+</script>""" + _INFO_SECTIONS, user)
 
 
 def processing_page(job_id: str, user: Optional[str]) -> str:
@@ -406,6 +482,282 @@ def signup_page(user: Optional[str], error: str = "") -> str:
 </form></div>""", user, starfield=True)
 
 
+# Dashboard logic as ONE plain (non-f-string) JS block — single braces are
+# literal here. Capability ≙ the reference's static/js/app.js in full:
+# tab switching (:3-19), metrics chart (:21-113, Plotly there → dependency-
+# free SVG here), confusion-matrix grid (:115-132), metrics table
+# (:134-153), model-info panel (:155-187), checkpoint load (:189-226),
+# drag-drop upload + progress (:231-276), alert banners
+# (templates/dashboard.html:267-268), floating chat launcher + phone
+# settings (templates/dashboard.html:312-332).
+_DASH_JS = _CHAT_LINE_JS + """
+function showAlert(id, msg) {
+  const el = document.getElementById(id);
+  el.textContent = msg;
+  el.style.display = 'block';
+  setTimeout(() => { el.style.display = 'none'; }, 6000);
+}
+const showError = m => showAlert('error-alert', m);
+const showSuccess = m => showAlert('success-alert', m);
+
+// ---- tabs ----
+document.querySelectorAll('.tab-btn').forEach(btn =>
+  btn.addEventListener('click', () => {
+    document.querySelectorAll('.tab-content').forEach(t =>
+      t.classList.remove('active'));
+    document.querySelectorAll('.tab-btn').forEach(b =>
+      b.classList.remove('active'));
+    document.getElementById(btn.dataset.tab).classList.add('active');
+    btn.classList.add('active');
+  }));
+
+// ---- training metrics: SVG chart + confusion grid + table ----
+const KEYS = [['accuracy', '#7aa2ff'], ['precision', '#b197fc'],
+              ['recall', '#51cf66'], ['f1', '#fcc419'], ['auc', '#ff8787']];
+function renderChart(es) {
+  const svg = document.getElementById('chart');
+  const W = 780, H = 240, padL = 44, padR = 16, padT = 24, padB = 32;
+  const on = Object.fromEntries(KEYS.map(([k]) => [k, true]));
+  const x = i => padL + i * (W - padL - padR) / Math.max(es.length - 1, 1);
+  const y = v => H - padB - v * (H - padT - padB);
+  function render() {
+    let out = '';
+    for (const v of [0, 0.25, 0.5, 0.75, 1]) {
+      out += `<line x1="${padL}" y1="${y(v)}" x2="${W - padR}"
+              y2="${y(v)}" stroke="#232d4a"/>` +
+             `<text x="${padL - 6}" y="${y(v) + 4}" fill="#8b93a7"
+              font-size="11" text-anchor="end">${v}</text>`;
+    }
+    const step = Math.max(1, Math.ceil(es.length / 12));
+    es.forEach((e, i) => {
+      if (i % step) return;
+      out += `<text x="${x(i)}" y="${H - padB + 16}" fill="#8b93a7"
+              font-size="11" text-anchor="middle">${e.epoch ?? i}</text>`;
+    });
+    for (const [k, color] of KEYS) {
+      if (!on[k]) continue;
+      const pts = es.map((e, i) => `${x(i)},${y(e[k] || 0)}`).join(' ');
+      out += `<polyline fill="none" stroke="${color}" stroke-width="2"
+              points="${pts}"/>`;
+      out += es.map((e, i) =>
+        `<circle cx="${x(i)}" cy="${y(e[k] || 0)}" r="3.5"
+         fill="${color}"><title>epoch ${e.epoch ?? i} ${k} =
+         ${(e[k] || 0).toFixed(3)}</title></circle>`).join('');
+    }
+    out += KEYS.map(([k, c], j) =>
+      `<text class="legend-item${on[k] ? '' : ' off'}" data-k="${k}"
+       x="${padL + j * 96}" y="14" fill="${c}"
+       font-size="12">&#9632; ${k}</text>`).join('');
+    svg.innerHTML = out;
+    svg.querySelectorAll('.legend-item').forEach(el =>
+      el.addEventListener('click', () => {
+        on[el.dataset.k] = !on[el.dataset.k]; render();
+      }));
+  }
+  render();
+}
+function renderConfusion(es) {
+  const grid = document.getElementById('confusion-grid');
+  grid.textContent = '';
+  for (const e of es) {
+    const cm = e.confusion_matrix;
+    if (!cm) continue;
+    const div = document.createElement('div');
+    div.className = 'cm';
+    div.innerHTML = `<div class="cm-head">Epoch ${e.epoch}</div><table>
+<tr><th class="cm-head"></th><th class="cm-head">Pred Real</th>
+<th class="cm-head">Pred Fake</th></tr>
+<tr><th class="cm-head">Actual Real</th><td>${cm[0][0]}</td><td>${cm[0][1]}</td></tr>
+<tr><th class="cm-head">Actual Fake</th><td>${cm[1][0]}</td><td>${cm[1][1]}</td></tr>
+</table>`;
+    grid.appendChild(div);
+  }
+}
+function renderTable(es) {
+  const tbody = document.getElementById('metrics-tbody');
+  tbody.textContent = '';
+  for (const e of es) {
+    const row = tbody.insertRow();
+    const pct = v => (typeof v === 'number' && isFinite(v))
+                   ? (v * 100).toFixed(2) + '%' : 'N/A';
+    row.innerHTML = `<td>${e.epoch}</td><td>${pct(e.accuracy)}</td>
+<td>${pct(e.precision)}</td><td>${pct(e.recall)}</td><td>${pct(e.f1)}</td>
+<td>${pct(e.auc)}</td><td>${e.total_samples ?? '-'}</td>`;
+  }
+}
+fetch('/api/metrics').then(r => r.json()).then(d => {
+  const es = d.epochs || [];
+  if (!es.length) {
+    document.getElementById('chart-note').textContent =
+      'No training metrics on this server yet.';
+    return;
+  }
+  renderChart(es);
+  renderConfusion(es);
+  renderTable(es);
+});
+
+// ---- model panel ----
+function infoLine(container, label, value) {
+  const div = document.createElement('div');
+  div.className = 'info-item';
+  const span = document.createElement('span');
+  span.className = 'label';
+  span.textContent = label;
+  div.appendChild(span);
+  div.appendChild(document.createTextNode(String(value)));
+  container.appendChild(div);
+}
+function loadModelInfo() {
+  fetch('/api/model-info').then(r => r.json()).then(info => {
+    const c = document.getElementById('model-info');
+    c.textContent = '';
+    infoLine(c, 'Status:', info.loaded ? 'model loaded' : 'no model loaded');
+    if (info.loaded) {
+      infoLine(c, 'Model type:', info.model_type || '?');
+      if (info.checkpoint) infoLine(c, 'Checkpoint:', info.checkpoint);
+      const s = info.load_stats || {};
+      if (typeof s.match_ratio === 'number')
+        infoLine(c, 'Key match:', s.match_ratio.toFixed(3));
+    }
+    infoLine(c, 'Device:', info.device || 'unknown');
+    const mb = info.microbatch;
+    if (mb && mb.batches_run)
+      infoLine(c, 'Micro-batching:', mb.items_run + ' items in ' +
+        mb.batches_run + ' batches (mean ' + mb.mean_batch + ')');
+  }).catch(() => {});
+}
+function loadCheckpoints() {
+  fetch('/api/checkpoints').then(r => r.json()).then(d => {
+    const sel = document.getElementById('ckpt-select');
+    sel.textContent = '';
+    const blank = document.createElement('option');
+    blank.value = '';
+    blank.textContent = (d.checkpoints || []).length
+      ? '— pick a checkpoint —' : 'no checkpoints found';
+    sel.appendChild(blank);
+    for (const p of d.checkpoints || []) {
+      const o = document.createElement('option');
+      o.value = p;
+      o.textContent = p + (p === d.current ? '  (current)' : '');
+      sel.appendChild(o);
+    }
+  }).catch(() => {});
+}
+async function loadModel() {
+  const path = document.getElementById('ckpt-select').value ||
+               document.getElementById('ckpt').value;
+  const el = document.getElementById('mstatus');
+  if (!path) { showError('Pick or type a checkpoint path first'); return; }
+  const model_type = document.getElementById('mtype').value || null;
+  el.textContent = 'loading…';
+  try {
+    const r = await fetch('/api/load-model', {method: 'POST',
+      headers: {'Content-Type': 'application/json'},
+      body: JSON.stringify({path, model_type})});
+    const j = await r.json();
+    if (j.ok) {
+      el.textContent = 'loaded ' + j.stats.model_type +
+        ' (match ' + j.stats.match_ratio.toFixed(2) + ')';
+      showSuccess('Model loaded');
+      loadModelInfo(); loadCheckpoints();
+    } else {
+      el.textContent = '';
+      showError(j.error || 'load failed');
+    }
+  } catch (err) { el.textContent = ''; showError(String(err)); }
+}
+loadModelInfo();
+loadCheckpoints();
+
+// ---- upload: drag-drop + progress ----
+const ddz = document.getElementById('ddz');
+const vid = document.getElementById('vid');
+ddz.addEventListener('click', () => vid.click());
+ddz.addEventListener('dragover', e => {
+  e.preventDefault(); ddz.classList.add('drag'); });
+ddz.addEventListener('dragleave', () => ddz.classList.remove('drag'));
+ddz.addEventListener('drop', e => {
+  e.preventDefault(); ddz.classList.remove('drag');
+  if (e.dataTransfer.files.length) apiUpload(e.dataTransfer.files[0]);
+});
+vid.addEventListener('change', () => {
+  if (vid.files.length) apiUpload(vid.files[0]);
+});
+async function apiUpload(file) {
+  const el = document.getElementById('upstatus');
+  const track = document.getElementById('progress-track');
+  const fill = document.getElementById('progress-fill');
+  el.textContent = 'analyzing ' + file.name + '…';
+  track.style.display = 'block';
+  fill.style.width = '15%';
+  const tick = setInterval(() => {
+    const w = parseFloat(fill.style.width) || 0;
+    if (w < 90) fill.style.width = (w + 5) + '%';
+  }, 800);
+  try {
+    const fd = new FormData();
+    fd.append('video', file);
+    const r = await fetch('/api/upload', {method: 'POST', body: fd});
+    const j = await r.json();
+    fill.style.width = '100%';
+    if (j.uploads) {
+      el.textContent = j.uploads[0].filename + ' → ' +
+        j.uploads[0].verdict;
+      showSuccess('Analyzed ' + j.uploads[0].filename);
+      setTimeout(() => window.location.reload(), 1200);
+    } else {
+      el.textContent = '';
+      showError(j.error || 'upload failed');
+    }
+  } catch (err) { el.textContent = ''; showError(String(err));
+  } finally { clearInterval(tick);
+    setTimeout(() => { track.style.display = 'none';
+                       fill.style.width = '0'; }, 1200); }
+}
+
+// ---- floating chat launcher + phone settings ----
+document.getElementById('chat-launcher').addEventListener('click', () =>
+  document.getElementById('chat-panel').classList.toggle('open'));
+document.getElementById('chat-close').addEventListener('click', () =>
+  document.getElementById('chat-panel').classList.remove('open'));
+document.getElementById('chat-settings').addEventListener('click', () => {
+  const p = document.getElementById('chat-settings-panel');
+  p.style.display = p.style.display === 'none' ? 'block' : 'none';
+});
+fetch('/api/agent-config').then(r => r.json()).then(d => {
+  if (d.configured) document.getElementById('phstatus').textContent =
+    'Configured (' + (d.redacted_phone || '***') + ')';
+}).catch(() => {});
+async function savePhone() {
+  const phone = document.getElementById('phone').value.trim();
+  const el = document.getElementById('phstatus');
+  const r = await fetch('/api/agent-config', {method: 'POST',
+    headers: {'Content-Type': 'application/json'},
+    body: JSON.stringify({notification_phone: phone})});
+  const j = await r.json();
+  el.textContent = j.success ? 'Configured (***' + phone.slice(-4) + ')'
+                             : (j.error || 'failed');
+}
+document.getElementById('save-phone').addEventListener('click', savePhone);
+async function send() {
+  const m = document.getElementById('msg').value;
+  if (!m) return;
+  const log = document.getElementById('log');
+  chatLine(log, 'chat-msg-user', 'You: ', m);
+  document.getElementById('msg').value = '';
+  const r = await fetch('/api/chat', {method: 'POST',
+    headers: {'Content-Type': 'application/json'},
+    body: JSON.stringify({message: m})});
+  const j = await r.json();
+  chatLine(log, 'chat-msg-bot', 'Bot: ', j.reply || j.error || '');
+}
+document.getElementById('chat-send').addEventListener('click', send);
+document.getElementById('msg').addEventListener('keydown',
+  e => { if (e.key === 'Enter') send(); });
+"""
+
+
 def dashboard_page(user: Optional[str], uploads: List[Dict[str, Any]]) -> str:
     rows = "".join(
         f"<tr><td><a href='/result/{html.escape(str(u.get('id', '')))}'>"
@@ -417,141 +769,78 @@ def dashboard_page(user: Optional[str], uploads: List[Dict[str, Any]]) -> str:
              f"{rows}</table>" if rows else
              '<p class="muted">No uploads yet.</p>')
     body = f"""
+<div class="alert alert-error" id="error-alert"></div>
+<div class="alert alert-success" id="success-alert"></div>
+<div class="tabbar">
+<button class="tab-btn active" data-tab="tab-upload">Upload</button>
+<button class="tab-btn" data-tab="tab-training">Training metrics</button>
+<button class="tab-btn" data-tab="tab-model">Model</button>
+</div>
+
+<div id="tab-upload" class="tab-content active">
 <div class="card"><h2>Analyze a video</h2>
-<p><input type="file" id="vid" accept="video/*">
-<button onclick="apiUpload()">Upload &amp; analyze</button>
-<span class="muted" id="upstatus"></span></p></div>
+<div class="dropzone" id="ddz">Drag &amp; drop a video here<br>
+<span class="muted">or click to choose</span>
+<input type="file" id="vid" accept="video/*" style="display:none"></div>
+<div class="progress-track" id="progress-track" style="display:none">
+<div class="progress-fill" id="progress-fill"></div></div>
+<p class="muted" id="upstatus"></p></div>
 <div class="card"><h2>Upload history</h2>{table}</div>
-<div class="card"><h2>Model</h2>
-<p><input type="text" id="ckpt" placeholder="checkpoint path on server">
-<button onclick="loadModel()">Load model</button>
-<span class="muted" id="mstatus"></span></p></div>
+</div>
+
+<div id="tab-training" class="tab-content">
 <div class="card"><h2>Training metrics</h2>
 <svg id="chart" width="780" height="240" viewBox="0 0 780 240"></svg>
-<p class="muted" id="chart-note">Per-epoch accuracy/F1/AUC recomputed from
-preds_epoch_*.csv (via /api/metrics). Click a legend entry to toggle a
-series; hover points for values.</p></div>
-<script>
-// interactive SVG chart ≙ the reference's Plotly dashboards
-// (static/js/app.js:21-153), dependency-free: axes + ticks, per-point
-// hover tooltips, click-to-toggle legend.
-fetch('/api/metrics').then(r => r.json()).then(d => {{
-  const es = d.epochs || [];
-  const svg = document.getElementById('chart');
-  if (!es.length) {{
-    document.getElementById('chart-note').textContent =
-      'No training metrics on this server yet.';
-    return;
-  }}
-  const W = 780, H = 240, padL = 44, padR = 16, padT = 24, padB = 32;
-  const keys = [['accuracy', '#7aa2ff'], ['f1', '#51cf66'], ['auc', '#fcc419']];
-  const on = Object.fromEntries(keys.map(([k]) => [k, true]));
-  const x = i => padL + i * (W - padL - padR) / Math.max(es.length - 1, 1);
-  const y = v => H - padB - v * (H - padT - padB);
-  function render() {{
-    let out = '';
-    for (const v of [0, 0.25, 0.5, 0.75, 1]) {{
-      out += `<line x1="${{padL}}" y1="${{y(v)}}" x2="${{W - padR}}"
-              y2="${{y(v)}}" stroke="#232d4a"/>` +
-             `<text x="${{padL - 6}}" y="${{y(v) + 4}}" fill="#8b93a7"
-              font-size="11" text-anchor="end">${{v}}</text>`;
-    }}
-    const step = Math.max(1, Math.ceil(es.length / 12));
-    es.forEach((e, i) => {{
-      if (i % step) return;
-      out += `<text x="${{x(i)}}" y="${{H - padB + 16}}" fill="#8b93a7"
-              font-size="11" text-anchor="middle">${{e.epoch ?? i}}</text>`;
-    }});
-    for (const [k, color] of keys) {{
-      if (!on[k]) continue;
-      const pts = es.map((e, i) => `${{x(i)}},${{y(e[k] || 0)}}`).join(' ');
-      out += `<polyline fill="none" stroke="${{color}}" stroke-width="2"
-              points="${{pts}}"/>`;
-      out += es.map((e, i) =>
-        `<circle cx="${{x(i)}}" cy="${{y(e[k] || 0)}}" r="3.5"
-         fill="${{color}}"><title>epoch ${{e.epoch ?? i}} ${{k}} =
-         ${{(e[k] || 0).toFixed(3)}}</title></circle>`).join('');
-    }}
-    out += keys.map(([k, c], j) =>
-      `<text class="legend-item${{on[k] ? '' : ' off'}}" data-k="${{k}}"
-       x="${{padL + j * 96}}" y="14" fill="${{c}}"
-       font-size="12">&#9632; ${{k}}</text>`).join('');
-    svg.innerHTML = out;
-    svg.querySelectorAll('.legend-item').forEach(el =>
-      el.addEventListener('click', () => {{
-        on[el.dataset.k] = !on[el.dataset.k]; render();
-      }}));
-  }}
-  render();
-}});
-</script>
-<div class="card"><h2>Alerts</h2>
-<p class="muted">CRITICAL deepfake alerts are logged for phone notification
-(≙ the reference's agent settings panel).</p>
+<p class="muted" id="chart-note">Per-epoch accuracy/precision/recall/F1/AUC
+recomputed from preds_epoch_*.csv (via /api/metrics). Click a legend entry
+to toggle a series; hover points for values.</p></div>
+<div class="card"><h2>Confusion matrices</h2>
+<div class="cm-grid" id="confusion-grid"><span class="muted">No training
+data yet.</span></div></div>
+<div class="card"><h2>Per-epoch metrics</h2>
+<table><thead><tr><th>Epoch</th><th>Accuracy</th><th>Precision</th>
+<th>Recall</th><th>F1</th><th>AUC</th><th>Samples</th></tr></thead>
+<tbody id="metrics-tbody"></tbody></table></div>
+</div>
+
+<div id="tab-model" class="tab-content">
+<div class="card"><h2>Model info</h2>
+<div id="model-info" class="muted">loading&hellip;</div></div>
+<div class="card"><h2>Load a checkpoint</h2>
+<p><select id="ckpt-select"><option value="">loading&hellip;</option></select></p>
+<p><input type="text" id="ckpt"
+ placeholder="or type a checkpoint path on the server"></p>
+<p><select id="mtype">
+<option value="">auto-detect architecture</option>
+<option value="efficientnet_b0">efficientnet_b0</option>
+<option value="resnet18">resnet18</option>
+<option value="resnet34">resnet34</option>
+<option value="resnet50">resnet50</option>
+<option value="vit_gcn">vit_gcn</option>
+</select>
+<button onclick="loadModel()">Load model</button>
+<span class="muted" id="mstatus"></span></p></div>
+</div>
+
+<button id="chat-launcher" class="chat-launcher">&#128172; Chat</button>
+<div id="chat-panel" class="chat-panel">
+<div class="chat-head"><span class="title">Assistant</span>
+<button id="chat-settings" title="Settings">&#9881;</button>
+<button id="chat-close" title="Close">&times;</button></div>
+<div class="chat-body"><div class="chat-log" id="log"></div></div>
+<div id="chat-settings-panel" style="display:none"
+ class="chat-body">
+<p class="muted">CRITICAL deepfake alerts go to this phone
+(&#8793; the reference's agent settings panel).</p>
 <p><input type="text" id="phone" placeholder="+15551234567">
-<button onclick="savePhone()">Save number</button>
+<button id="save-phone">Save</button>
 <span class="muted" id="phstatus"></span></p></div>
-<div class="card"><h2>Chat</h2>
-<div class="chat-log" id="log"></div>
-<p><input type="text" id="msg" placeholder="Ask about your results…">
-<button onclick="send()">Send</button></p></div>
+<div class="chat-foot">
+<input type="text" id="msg" placeholder="Ask about your results&hellip;">
+<button id="chat-send">Send</button></div>
+</div>
 <script>
-fetch('/api/agent-config').then(r => r.json()).then(d => {{
-  if (d.configured) document.getElementById('phstatus').textContent =
-    'Configured (' + (d.redacted_phone || '***') + ')';
-}});
-async function savePhone() {{
-  const phone = document.getElementById('phone').value.trim();
-  const el = document.getElementById('phstatus');
-  const r = await fetch('/api/agent-config', {{method: 'POST',
-    headers: {{'Content-Type': 'application/json'}},
-    body: JSON.stringify({{notification_phone: phone}})}});
-  const j = await r.json();
-  el.textContent = j.success ? 'Configured (***' + phone.slice(-4) + ')'
-                             : (j.error || 'failed');
-}}
-</script>
-<script>
-{_CHAT_LINE_JS}
-async function send() {{
-  const m = document.getElementById('msg').value;
-  if (!m) return;
-  const log = document.getElementById('log');
-  chatLine(log, 'chat-msg-user', 'You: ', m);
-  document.getElementById('msg').value = '';
-  const r = await fetch('/api/chat', {{method: 'POST',
-    headers: {{'Content-Type': 'application/json'}},
-    body: JSON.stringify({{message: m}})}});
-  const j = await r.json();
-  chatLine(log, 'chat-msg-bot', 'Bot: ', j.reply || j.error || '');
-}}
-async function loadModel() {{
-  const path = document.getElementById('ckpt').value;
-  const el = document.getElementById('mstatus');
-  el.textContent = 'loading…';
-  const r = await fetch('/api/load-model', {{method: 'POST',
-    headers: {{'Content-Type': 'application/json'}},
-    body: JSON.stringify({{path}})}});
-  const j = await r.json();
-  el.textContent = j.ok ? ('loaded ' + j.stats.model_type +
-    ' (match ' + j.stats.match_ratio.toFixed(2) + ')') : (j.error || 'failed');
-}}
-async function apiUpload() {{
-  const inp = document.getElementById('vid');
-  const el = document.getElementById('upstatus');
-  if (!inp.files.length) {{ el.textContent = 'pick a file first'; return; }}
-  el.textContent = 'analyzing…';
-  const fd = new FormData();
-  fd.append('video', inp.files[0]);
-  const r = await fetch('/api/upload', {{method: 'POST', body: fd}});
-  const j = await r.json();
-  if (j.uploads) {{
-    el.textContent = j.uploads[0].filename + ' → ' + j.uploads[0].verdict;
-    setTimeout(() => window.location.reload(), 1200);
-  }} else {{
-    el.textContent = j.error || 'failed';
-  }}
-}}
+{_DASH_JS}
 </script>"""
     return _page("Dashboard", body, user)
 

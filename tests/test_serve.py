@@ -128,6 +128,15 @@ def test_load_model_and_predict(served):
     status, _, body = call(app, "GET", "/api/model-info")
     info = json.loads(body)
     assert info["loaded"] is True and info["model_type"] == "cnn_lstm"
+    # round-3 additions for the dashboard model panel
+    assert info["checkpoint"] == ckpt
+    assert info["device"] in ("cpu", "tpu", "gpu")
+
+    # ranked checkpoint listing for the dropdown; the loaded one is current
+    status, _, body = call(app, "GET", "/api/checkpoints")
+    listing = json.loads(body)
+    assert status == 200 and ckpt in listing["checkpoints"]
+    assert listing["current"] == ckpt
 
     # api predict by path
     status, _, body = call(app, "POST", "/api/predict",
@@ -298,6 +307,10 @@ def test_metrics_from_preds_csv(tmp_path):
     out = get_training_metrics(str(tmp_path))
     assert out["epochs"][0]["accuracy"] == 1.0
     assert out["epochs"][0]["auc"] == 1.0
+    # confusion matrix [[TN,FP],[FN,TP]] + sample count feed the dashboard's
+    # confusion grid / per-epoch table (round-3 frontend parity)
+    assert out["epochs"][0]["confusion_matrix"] == [[5, 0], [0, 5]]
+    assert out["epochs"][0]["total_samples"] == 10
 
 
 def test_frontend_surface(served):
@@ -310,6 +323,19 @@ def test_frontend_surface(served):
     _, _, body = call(app, "GET", "/dashboard")
     assert b"legend-item" in body and b"/api/metrics" in body
     assert b"<title>" in body.replace(b"</title>", b"")  # hover tooltips
+    # round-3 dashboard parity with the reference's full app.js surface:
+    # tabs, confusion grid, per-epoch table, model-info panel, checkpoint
+    # dropdown, floating chat launcher, alert banners, upload progress
+    for frag in (b'class="tab-btn', b'id="confusion-grid"',
+                 b'id="metrics-tbody"', b'id="model-info"',
+                 b'id="ckpt-select"', b'/api/checkpoints',
+                 b'id="chat-launcher"', b'id="error-alert"',
+                 b'id="progress-fill"'):
+        assert frag in body, frag
+    # all five metric series are plotted
+    for series in (b"'accuracy'", b"'precision'", b"'recall'", b"'f1'",
+                   b"'auc'"):
+        assert series in body, series
     # result page (missing id still renders a page with the chat wiring)
     from deepfake_video_detection_tpu.serve.templates import result_page
     page = result_page(None, {"filename": "x.avi", "result": {
@@ -324,6 +350,35 @@ def test_frontend_surface(served):
     page_auth = result_page("u@example.com", {"filename": "x.avi",
                                               "result": {}})
     assert "/api/chat" in page_auth
+
+
+def test_frontend_js_static_sanity():
+    """No JS engine ships in this image, so statically lint the generated
+    pages: every <script> block must have balanced delimiters and every
+    getElementById target must exist as an id= in the same page (catches
+    typo'd ids and unbalanced template literals in the dashboard JS)."""
+    import re
+
+    from deepfake_video_detection_tpu.serve import templates as T
+
+    pages = {
+        "dashboard": T.dashboard_page(None, [{"id": "ab", "filename": "v",
+                                              "verdict": "Real", "ts": "t"}]),
+        "ui": T.ui_page(None),
+        "processing": T.processing_page("deadbeef", None),
+        "result": T.result_page(None, {"filename": "x.avi", "result": {
+            "prediction": "Real", "confidence": 0.9, "prob_fake": 0.1,
+            "num_faces": 2, "frame_scores": [0.1, 0.5]}}),
+        "index": T.index_page(None),
+    }
+    for name, page in pages.items():
+        js = "\n".join(re.findall(r"<script>(.*?)</script>", page, re.S))
+        for a, b in [("{", "}"), ("(", ")"), ("[", "]")]:
+            assert js.count(a) == js.count(b), (name, a)
+        assert js.count("`") % 2 == 0, (name, "backticks")
+        ids = set(re.findall(r'id="([^"]+)"', page))
+        for ref in re.findall(r"getElementById\('([^']+)'\)", js):
+            assert ref in ids, (name, ref)
 
 
 def test_load_model_path_restriction(served, tmp_path):
