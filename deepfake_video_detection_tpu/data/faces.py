@@ -210,20 +210,57 @@ class FaceExtractor:
     def _detect_haar(self, frames: np.ndarray):
         """Per-frame Viola-Jones boxes (xyxy) — largest unless keep_all,
         like the reference's Haar branch (``app.py:2001-2012``, which keeps
-        ``max(rects, key=area)``). None for frames with no detection."""
+        ``max(rects, key=area)``). None for frames with no detection.
+
+        Temporal tracking (``HAAR_TRACK``, default on; single-face mode
+        only): after a full-pyramid detection, subsequent frames scan only
+        an ``HAAR_TRACK_EXPAND``x window around the previous box with the
+        pyramid pruned to ±60 % of the tracked size — faces are temporally
+        coherent in video, so this cuts detection cost severalfold while
+        falling back to a FULL-frame scan the moment the track yields
+        nothing (quality degrades to per-frame full scans, never below).
+        The one behavioral divergence from per-frame scanning: while a
+        track holds, a *larger* face entering elsewhere in the frame is
+        not switched to until the track is lost; set ``HAAR_TRACK=0`` for
+        the reference's strict per-frame largest-face semantics."""
         from deepfake_video_detection_tpu.data.haar import detect_faces
 
         min_neighbors = _env_int("HAAR_MIN_NEIGHBORS", 4)
+        track = (not self.keep_all
+                 and os.environ.get("HAAR_TRACK", "1").strip().lower()
+                 not in ("0", "false", "no"))
+        try:
+            expand = float(os.environ.get("HAAR_TRACK_EXPAND", "") or 2.0)
+        except ValueError:
+            expand = 2.0
+        expand = max(1.2, expand)
         out = []
+        prev = None  # last kept (largest) box, xyxy
         for frame in frames:
-            xyxy, _counts = detect_faces(frame, min_neighbors=min_neighbors)
+            xyxy = None
+            if track and prev is not None:
+                side = max(prev[2] - prev[0], prev[3] - prev[1])
+                cx = 0.5 * (prev[0] + prev[2])
+                cy = 0.5 * (prev[1] + prev[3])
+                half = 0.5 * side * expand
+                xyxy, _ = detect_faces(
+                    frame, min_neighbors=min_neighbors,
+                    roi=(cx - half, cy - half, cx + half, cy + half),
+                    min_size_px=0.6 * side, max_size_px=1.6 * side)
+                if len(xyxy) == 0:
+                    xyxy = None  # track lost → full-frame rescan below
+            if xyxy is None:
+                xyxy, _ = detect_faces(frame, min_neighbors=min_neighbors)
             if len(xyxy) == 0:
                 out.append(None)
+                prev = None
             elif self.keep_all:
                 out.append(xyxy)
             else:
                 areas = (xyxy[:, 2] - xyxy[:, 0]) * (xyxy[:, 3] - xyxy[:, 1])
-                out.append(xyxy[int(np.argmax(areas))][None])
+                best = xyxy[int(np.argmax(areas))][None]
+                out.append(best)
+                prev = best[0]
         return out
 
     # -- public API -----------------------------------------------------------

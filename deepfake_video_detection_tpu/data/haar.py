@@ -325,7 +325,10 @@ def get_default_cascade() -> Optional[HaarCascade]:
 
 
 def detect_faces(frame_rgb: np.ndarray, cascade: Optional[HaarCascade] = None,
-                 min_neighbors: int = 4, max_side: int = 320
+                 min_neighbors: int = 4, max_side: int = 320,
+                 roi: Optional[Tuple[float, float, float, float]] = None,
+                 min_size_px: Optional[float] = None,
+                 max_size_px: Optional[float] = None
                  ) -> Tuple[np.ndarray, np.ndarray]:
     """Detect faces on ONE RGB frame at full resolution.
 
@@ -335,14 +338,31 @@ def detect_faces(frame_rgb: np.ndarray, cascade: Optional[HaarCascade] = None,
     faces are far above the implied ~7 %-of-frame minimum size. Returns
     ((k,4) xyxy boxes in ORIGINAL frame coordinates, (k,) neighbor
     counts), largest-vote first.
+
+    ``roi`` (xyxy, original coords) restricts the scan to a sub-window at
+    the SAME detection scale the full-frame pass would use, and
+    ``min_size_px``/``max_size_px`` (original pixel units) prune pyramid
+    levels — together the temporal-tracking fast path for video, where the
+    largest pyramid levels (smallest faces) dominate cost. Box coordinates
+    are always returned in original full-frame coords.
     """
     cascade = cascade or get_default_cascade()
     if cascade is None:
         return np.zeros((0, 4)), np.zeros((0,), np.int64)
     max_side = int(os.environ.get("HAAR_MAX_SIDE", "") or max_side)
     H, W = frame_rgb.shape[0], frame_rgb.shape[1]
+    # detection scale ALWAYS derives from the full frame so an roi pass
+    # sees the identical pyramid granularity as a full-frame pass
     scale = max(1.0, max(H, W) / float(max_side))
-    oh, ow = int(round(H / scale)), int(round(W / scale))
+    rx0 = ry0 = 0
+    if roi is not None:
+        rx0 = max(0, min(W - 1, int(math.floor(roi[0]))))
+        ry0 = max(0, min(H - 1, int(math.floor(roi[1]))))
+        rx1 = max(rx0 + 1, min(W, int(math.ceil(roi[2]))))
+        ry1 = max(ry0 + 1, min(H, int(math.ceil(roi[3]))))
+        frame_rgb = frame_rgb[ry0:ry1, rx0:rx1]
+    h, w = frame_rgb.shape[0], frame_rgb.shape[1]
+    oh, ow = max(1, int(round(h / scale))), max(1, int(round(w / scale)))
     gray = None
     if scale > 1.0:
         try:  # fused gray+downscale in C (GIL-free, ~3x the numpy path)
@@ -355,10 +375,15 @@ def detect_faces(frame_rgb: np.ndarray, cascade: Optional[HaarCascade] = None,
         gray = rgb_to_gray(frame_rgb)
         if scale > 1.0:
             gray = _resize_bilinear(gray, oh, ow)
-    boxes, counts = cascade.detect(gray, min_neighbors=min_neighbors)
+    min_size = 24 if min_size_px is None else max(24, int(min_size_px / scale))
+    max_size = None if max_size_px is None else max(
+        float(cascade.win_w), max_size_px / scale)
+    boxes, counts = cascade.detect(gray, min_neighbors=min_neighbors,
+                                   min_size=min_size, max_size=max_size)
     if len(boxes) == 0:
         return np.zeros((0, 4)), counts
     xyxy = np.stack([boxes[:, 0], boxes[:, 1],
                      boxes[:, 0] + boxes[:, 2],
                      boxes[:, 1] + boxes[:, 3]], 1) * scale
+    xyxy += np.array([rx0, ry0, rx0, ry0], np.float64)
     return xyxy, counts

@@ -135,6 +135,75 @@ def test_detect_faces_fullres_coords():
     assert _iou(xyxy[0], [170 * 3, 30 * 3, 280 * 3, 140 * 3]) > 0.5
 
 
+def test_detect_faces_roi_and_size_pruning():
+    """roi= restricts the scan but returns original full-frame coords;
+    min/max_size_px prune pyramid levels without losing the face."""
+    _require_cascade()
+    img = scene_with_face(H=240, W=320, oy=30, ox=170, s=110)
+    rgb = np.stack([img] * 3, -1).astype(np.uint8)
+    full, _ = detect_faces(rgb)
+    assert len(full) >= 1
+    b = full[0]
+    side = max(b[2] - b[0], b[3] - b[1])
+    cx, cy = 0.5 * (b[0] + b[2]), 0.5 * (b[1] + b[3])
+    half = side  # 2x expansion
+    roi_boxes, _ = detect_faces(
+        rgb, roi=(cx - half, cy - half, cx + half, cy + half),
+        min_size_px=0.6 * side, max_size_px=1.6 * side)
+    assert len(roi_boxes) >= 1
+    assert _iou(roi_boxes[0], b) > 0.6
+    # an roi away from the face finds nothing
+    off, _ = detect_faces(rgb, roi=(0, 130, 110, 240))
+    assert len(off) == 0
+    # roi coords survive the HAAR_MAX_SIDE downscale path (scale > 1)
+    big = np.kron(rgb, np.ones((3, 3, 1), np.uint8))    # 720x960
+    bb = [x * 3 for x in b]
+    bside = 3 * side
+    bcx, bcy = 3 * cx, 3 * cy
+    roi_big, _ = detect_faces(
+        big, roi=(bcx - bside, bcy - bside, bcx + bside, bcy + bside),
+        min_size_px=0.6 * bside, max_size_px=1.6 * bside)
+    assert len(roi_big) >= 1
+    assert _iou(roi_big[0], bb) > 0.5
+
+
+def test_extractor_haar_tracking_matches_full_scan(monkeypatch):
+    """HAAR_TRACK (default on): a moving face is followed via roi scans
+    that agree with per-frame full scans, the roi fast path is actually
+    exercised, and a discontinuous jump recovers via full-frame rescan."""
+    _require_cascade()
+    import deepfake_video_detection_tpu.data.haar as H
+    from deepfake_video_detection_tpu.data.faces import FaceExtractor
+
+    def scene(i, jump=False):
+        ox = (210 if jump else 40 + 10 * i)
+        img = scene_with_face(H=240, W=360, oy=20 + 4 * i, ox=ox, s=100)
+        return np.stack([img] * 3, -1).astype(np.uint8)
+
+    frames = np.stack([scene(i) for i in range(5)]
+                      + [scene(5, jump=True)])     # last frame: track jump
+
+    calls = {"roi": 0, "full": 0}
+    orig = H.detect_faces
+
+    def counting(frame, **kw):
+        calls["roi" if kw.get("roi") is not None else "full"] += 1
+        return orig(frame, **kw)
+
+    monkeypatch.setattr(H, "detect_faces", counting)
+    monkeypatch.setenv("HAAR_TRACK", "1")
+    tracked = FaceExtractor(detector="haar", face_size=48)._detect_haar(frames)
+    assert calls["roi"] >= 4          # frames 1..5 start on the roi path
+    assert calls["full"] >= 2         # frame 0 + the jumped frame's rescan
+    monkeypatch.setenv("HAAR_TRACK", "0")
+    calls.update(roi=0, full=0)
+    full = FaceExtractor(detector="haar", face_size=48)._detect_haar(frames)
+    assert calls["roi"] == 0 and calls["full"] == len(frames)
+    for t, f in zip(tracked, full):
+        assert t is not None and f is not None
+        assert _iou(t[0], f[0]) > 0.6
+
+
 def test_group_rectangles_votes():
     base = np.array([100.0, 80.0, 60.0, 60.0])
     jitter = np.array([[dx, dy, 0, 0] for dx in (-2, 0, 2)
