@@ -154,6 +154,54 @@ def test_load_model_and_predict(served):
     assert status == 200 and json.loads(body).get("prediction")
 
 
+def test_api_predict_with_haar_detector(tmp_path, monkeypatch):
+    """The full serving stack over a REAL detector: encoded video with an
+    off-center face → FACE_DETECTOR=haar (temporal tracking on by default)
+    → crops frame the face where the center prior provably would not →
+    predict_video verdict (≙ the reference's Haar serving branch,
+    app.py:1988-2025)."""
+    from deepfake_video_detection_tpu.data.haar import find_cascade_file
+    if find_cascade_file() is None:
+        pytest.skip("no Haar cascade XML installed")
+    from test_haar import scene_with_face
+
+    img = scene_with_face(H=240, W=320, oy=20, ox=190, s=100)
+    rgb = np.stack([img] * 3, -1).astype(np.uint8)
+    vid = tmp_path / "fake_offcenter.avi"
+    encode_video(str(vid), np.stack([rgb] * 12), fps=8)
+
+    monkeypatch.setenv("FACE_DETECTOR", "haar")
+    monkeypatch.setenv("FACE_SIZE", "48")
+    monkeypatch.setenv("DETECT_ABSTAIN_CONF", "0.0")
+    # the extractor the server will use crops the actual face (bright
+    # interior), while the center prior lands on the 120-gray background
+    crops = FaceExtractor(detector="haar", face_size=48).extract_from_video(
+        str(vid), max_frames=4)
+    assert crops.shape[0] >= 1 and crops[:, 12:36, 12:36].mean() > 150
+    center = FaceExtractor(detector="center", face_size=48).extract_from_video(
+        str(vid), max_frames=4)
+    assert center[:, 12:36, 12:36].mean() < 130
+
+    model = CNNLSTMHybrid()
+    variables = model.init(jax.random.PRNGKey(0))
+    ckpt = tmp_path / "ckpts" / "checkpoint_best.npz"
+    save_checkpoint(str(ckpt), variables,
+                    meta={"model_config": {"model_type": "cnn_lstm"}})
+    app = App(autoload=False, upload_dir=str(tmp_path / "up"),
+              data_dir=str(tmp_path / "data"),
+              log_root=str(tmp_path / "logs"),
+              checkpoints_root=str(tmp_path / "ckpts"))
+    call(app, "POST", "/api/load-model",
+         json.dumps({"path": str(ckpt)}).encode(), "application/json")
+    status, _, body = call(app, "POST", "/api/predict",
+                           json.dumps({"path": str(vid)}).encode(),
+                           "application/json")
+    assert status == 200
+    result = json.loads(body)
+    assert result.get("prediction") in ("Deepfake", "Real", "Uncertain")
+    assert result["num_faces"] >= 1
+
+
 def test_async_results_flow(served):
     app, ckpt, vid = served
     call(app, "POST", "/api/load-model",
