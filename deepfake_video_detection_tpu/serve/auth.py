@@ -9,6 +9,14 @@ Firebase RTDB), and per-user secrets (Gemini key, phone) in ``secrets.json``.
 Deliberate improvement over the reference: local passwords are stored as
 salted PBKDF2-SHA256, not plaintext (``app.py:2541-2563`` stores plaintext).
 Legacy plaintext entries are still accepted and upgraded on first login.
+
+Sessions: with ``FLASK_SECRET`` (or ``SECRET_KEY``) set, tokens are
+stateless HMAC-signed ``s.<email-b64>.<expiry>.<sig>`` values — like the
+reference's Flask signed-cookie sessions (``app.py:84``), they survive
+server restarts and need no server-side store. Without a secret, sessions
+fall back to in-memory random tokens (logged out on restart). Lifetime:
+``SESSION_TTL_SECONDS`` (default 31 days, Flask's permanent-session
+default).
 """
 
 from __future__ import annotations
@@ -43,6 +51,27 @@ def _write_json(path: str, data) -> None:
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(data, f, indent=2)
     os.replace(tmp, path)
+
+
+def _signing_key() -> Optional[bytes]:
+    s = env_str("FLASK_SECRET") or env_str("SECRET_KEY") or ""
+    return s.encode() if s else None
+
+
+def _sign(key: bytes, payload: str) -> str:
+    return hmac.new(key, payload.encode(), hashlib.sha256).hexdigest()[:32]
+
+
+def _b64u(s: str) -> str:
+    import base64
+
+    return base64.urlsafe_b64encode(s.encode()).decode().rstrip("=")
+
+
+def _b64u_decode(b: str) -> str:
+    import base64
+
+    return base64.urlsafe_b64decode(b + "=" * (-len(b) % 4)).decode()
 
 
 def _hash_password(password: str, salt: Optional[str] = None) -> str:
@@ -154,6 +183,13 @@ class AuthStore:
         return self._new_session(email)
 
     def _new_session(self, email: str) -> str:
+        key = _signing_key()
+        if key:
+            import time
+            ttl = int(env_str("SESSION_TTL_SECONDS") or 31 * 24 * 3600)
+            b = _b64u(email)
+            payload = f"{b}.{int(time.time()) + ttl}"
+            return f"s.{payload}.{_sign(key, payload)}"
         token = _secrets.token_urlsafe(32)
         self.sessions[token] = email
         return token
@@ -161,9 +197,26 @@ class AuthStore:
     def user_for_token(self, token: Optional[str]) -> Optional[str]:
         if not token:
             return None
+        if token.startswith("s.") and token.count(".") == 3:
+            import time
+            key = _signing_key()
+            if not key:
+                return None
+            _, b, exp, sig = token.split(".")
+            payload = f"{b}.{exp}"
+            if not hmac.compare_digest(sig, _sign(key, payload)):
+                return None
+            try:
+                if int(exp) < time.time():
+                    return None
+                return _b64u_decode(b)
+            except (ValueError, UnicodeDecodeError):
+                return None
         return self.sessions.get(token)
 
     def logout(self, token: Optional[str]) -> None:
+        # signed tokens are stateless — logout is the cookie removal the
+        # app performs, exactly like the reference's Flask session.clear()
         if token:
             self.sessions.pop(token, None)
 

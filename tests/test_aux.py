@@ -104,6 +104,42 @@ def test_orbax_roundtrip(tmp_path):
                                   variables["params"]["w"])
 
 
+def test_signed_sessions_survive_restart(tmp_path, monkeypatch):
+    """With FLASK_SECRET set (≙ the reference's Flask signed-cookie
+    sessions, app.py:84) tokens are stateless HMAC values: they verify in a
+    FRESH AuthStore (server restart), reject tampering, and expire; without
+    a secret the in-memory fallback logs out on restart."""
+    from deepfake_video_detection_tpu.serve.auth import AuthStore
+
+    monkeypatch.setenv("FLASK_SECRET", "test-secret-key")
+    store = AuthStore(data_dir=str(tmp_path))
+    token = store.signup("a@b.io", "hunter22")
+    assert token and token.startswith("s.")
+    assert store.user_for_token(token) == "a@b.io"
+    # restart: a brand-new store still resolves the token
+    fresh = AuthStore(data_dir=str(tmp_path))
+    assert fresh.user_for_token(token) == "a@b.io"
+    # tampered payload or signature → rejected
+    head, b64, exp, sig = token.split(".")
+    assert fresh.user_for_token(f"{head}.{b64}.{int(exp) + 9}.{sig}") is None
+    assert fresh.user_for_token(token[:-4] + "beef") is None
+    # expired → rejected
+    monkeypatch.setenv("SESSION_TTL_SECONDS", "-1")
+    stale = store.login("a@b.io", "hunter22")
+    assert store.user_for_token(stale) is None
+    monkeypatch.delenv("SESSION_TTL_SECONDS")
+    # a different secret invalidates old tokens
+    monkeypatch.setenv("FLASK_SECRET", "rotated")
+    assert AuthStore(data_dir=str(tmp_path)).user_for_token(token) is None
+    # no secret → random in-memory tokens: valid in-process, gone on restart
+    monkeypatch.delenv("FLASK_SECRET")
+    store2 = AuthStore(data_dir=str(tmp_path))
+    t2 = store2.login("a@b.io", "hunter22")
+    assert t2 and not t2.startswith("s.")
+    assert store2.user_for_token(t2) == "a@b.io"
+    assert AuthStore(data_dir=str(tmp_path)).user_for_token(t2) is None
+
+
 def test_rtdb_upload_mirror(tmp_path, monkeypatch):
     """Uploads mirror to Firebase RTDB (`uploads/<uid>/<id>`) when
     FIREBASE_DATABASE_URL is set and the user logged in via Firebase,
