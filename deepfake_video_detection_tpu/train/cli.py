@@ -80,6 +80,10 @@ def main(argv=None) -> int:
     ap.add_argument("--steps_per_call", type=int, default=1,
                     help="optimizer steps fused into one device dispatch "
                          "(scan-of-steps; amortizes dispatch overhead)")
+    ap.add_argument("--grad_accum", type=int, default=1,
+                    help="microbatches accumulated per optimizer step: "
+                         "exact big-batch gradients at 1/N the activation "
+                         "memory (batch_size must be divisible)")
     ap.add_argument("--torch-export", action="store_true")
     ap.add_argument("--ema_decay", type=float, default=None,
                     help="params-EMA decay (e.g. 0.999): validation/best-"
@@ -146,6 +150,7 @@ def main(argv=None) -> int:
         best_metric="f1", smoke=args.smoke, adjacency=adjacency,
         augment=not args.no_augment, keep_torch_export=args.torch_export,
         steps_per_call=args.steps_per_call,
+        grad_accum=args.grad_accum,
         ema_decay=args.ema_decay,
         model_config=model_config,
     )

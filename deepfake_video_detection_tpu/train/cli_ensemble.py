@@ -45,6 +45,10 @@ def main(argv=None) -> int:
     ap.add_argument("--steps_per_call", type=int, default=1,
                     help="optimizer steps fused into one device dispatch "
                          "(scan-of-steps; amortizes dispatch overhead)")
+    ap.add_argument("--grad_accum", type=int, default=1,
+                    help="microbatches accumulated per optimizer step: "
+                         "exact big-batch gradients at 1/N the activation "
+                         "memory (batch_size must be divisible)")
     from deepfake_video_detection_tpu.parallel.strategy import (
         add_parallel_args, build_plan)
     add_parallel_args(ap, temporal=False)
@@ -71,6 +75,7 @@ def main(argv=None) -> int:
         best_metric=args.best_metric, threshold_sweep=True,
         smoke=args.smoke, keep_torch_export=args.torch_export,
         augment=not args.no_augment, steps_per_call=args.steps_per_call,
+        grad_accum=args.grad_accum,
         model_config={"model_type": "ensemble", "backbones": backbones,
                       "ensemble_method": args.ensemble_method},
     )

@@ -44,6 +44,10 @@ def main(argv=None) -> int:
     ap.add_argument("--ema_decay", type=float, default=None,
                     help="params-EMA decay (e.g. 0.999): validation/best-"
                          "ckpt use the EMA weights; *_ema.npz written")
+    ap.add_argument("--grad_accum", type=int, default=1,
+                    help="microbatches accumulated per optimizer step: "
+                         "exact big-batch gradients at 1/N the activation "
+                         "memory (batch_size must be divisible)")
     from deepfake_video_detection_tpu.parallel.strategy import (
         add_parallel_args, build_plan)
     add_parallel_args(ap, temporal=False)
@@ -74,6 +78,7 @@ def main(argv=None) -> int:
         early_stopping_patience=args.patience, best_metric="accuracy",
         save_every=10, smoke=args.smoke, adjacency="chain",
         normalize=normalize, ema_decay=args.ema_decay,
+        grad_accum=args.grad_accum,
         model_config={"model_type": "vit_gcn", "vit_variant": variant,
                       "backbone": flavor},
     )

@@ -198,6 +198,123 @@ def make_multi_step(
     )
 
 
+def make_accum_step(
+    model: Any,
+    tx: Any,
+    loss_fn: Callable[..., jnp.ndarray],
+    accum: int,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+    remat: bool = False,
+    aux_loss_weight: float = 0.01,
+    prep: Optional[Callable[[dict, jax.Array], dict]] = None,
+    sample_weight_fn: Optional[Callable[..., jnp.ndarray]] = None,
+) -> Callable[[TrainState, dict, jax.Array], Tuple[TrainState, dict]]:
+    """Compile ONE optimizer step whose gradient is accumulated over
+    ``accum`` sequential microbatches — the standard large-effective-batch
+    trade: peak activation memory is that of ONE microbatch (the scan frees
+    each microbatch's activations before the next), so batches that cannot
+    fit per-chip in one forward still train with exact big-batch gradients.
+
+    ``batches``: the batch dict with every leaf reshaped to
+    ``(accum, B/accum, ...)``. ``prep(batch, rng) -> batch`` (the trainer's
+    augment+normalize) runs inside the scan body, per microbatch.
+
+    Exactness: the trainer's losses are weighted means
+    ``sum(w*x)/sum(w)`` (class weights x validity mask — see
+    ``losses._weighted_mean``), so microbatch gradients are combined by
+    their weight sums: grad = Σ_k grad(mean_k)·den_k / Σ_k den_k, with
+    ``den_k = sum(w)`` over microbatch k computed by ``sample_weight_fn``
+    (labels, valid) — constants w.r.t. params, so the accumulated gradient
+    equals the full-batch gradient bit-for-bit up to float addition order
+    (``tests/test_train.py::test_grad_accum_matches_full_batch``). Two
+    caveats, both standard for gradient accumulation: batch-statistics
+    models (BatchNorm in train mode) normalize per MICRObatch, so their
+    forward differs from one full-batch pass exactly as it would on a
+    smaller real batch (running stats thread through the scan
+    sequentially); and per-microbatch rng means dropout/augment draw a
+    different (still seeded) stream than a single full-batch step.
+    Model-reported aux losses (MoE router balance) contribute ``1/accum``
+    each — the mean over microbatches.
+    """
+    forward = _model_outputs
+    if remat:
+        forward = jax.checkpoint(
+            _model_outputs, static_argnums=(0, 3), policy=None)
+    if sample_weight_fn is None:
+        def sample_weight_fn(labels, valid):  # noqa: F811 — default: mask only
+            w = jnp.ones(labels.shape, jnp.float32)
+            return w if valid is None else w * valid.astype(jnp.float32)
+
+    def accum_step(state: TrainState, batches: dict, rng: jax.Array):
+        rngs = jax.random.split(rng, 2 * accum)
+        den = jnp.sum(sample_weight_fn(batches["labels"],
+                                       batches.get("valid")), axis=1)
+        scale = den / jnp.maximum(jnp.sum(den), 1e-8)  # (accum,)
+
+        def body(carry, xs):
+            ms, g_acc, loss_acc, corr, cnt = carry
+            b, r_prep, r_step, s = xs
+            if prep is not None:
+                b = prep(b, r_prep)
+
+            def micro_loss(params):
+                variables = {"params": params, "state": ms}
+                logits, new_ms = forward(model, variables, b, True, r_step)
+                mean_k = loss_fn(logits, b["labels"],
+                                 sample_mask=b.get("valid"))
+                scaled = mean_k * s
+                if isinstance(new_ms, dict):
+                    aux = new_ms.pop("aux_losses", None)
+                    if aux is not None:
+                        for v in jax.tree_util.tree_leaves(aux):
+                            scaled = scaled + aux_loss_weight * v / accum
+                return scaled, (mean_k, logits, new_ms)
+
+            (_, (mean_k, logits, new_ms)), g = jax.value_and_grad(
+                micro_loss, has_aux=True)(state.params)
+            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+            preds = jnp.argmax(logits, axis=-1)
+            valid = b.get("valid")
+            hit = (preds == b["labels"])
+            if valid is not None:
+                hit = hit & valid
+                n = jnp.sum(valid.astype(jnp.int32))
+            else:
+                n = jnp.asarray(b["labels"].shape[0], jnp.int32)
+            return (new_ms, g_acc, loss_acc + mean_k * s,
+                    corr + jnp.sum(hit), cnt + n), None
+
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+        init = (state.model_state, zeros, jnp.zeros((), jnp.float32),
+                jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+        (new_ms, grads, loss, correct, count), _ = jax.lax.scan(
+            body, init, (batches, rngs[:accum], rngs[accum:], scale))
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: (p + u).astype(p.dtype), state.params, updates)
+        metrics = {
+            "loss": loss,
+            "correct": correct,
+            "count": count,
+            "grad_norm": optax_global_norm(grads),
+        }
+        return TrainState(new_params, new_ms, new_opt_state,
+                          state.step + 1), metrics
+
+    if mesh is None:
+        return jax.jit(accum_step, donate_argnums=(0,) if donate else ())
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(None, "data"))  # (accum, mB, ...): shard dim 1
+    return jax.jit(
+        accum_step,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
 def make_eval_step(model: Any, mesh: Optional[Mesh] = None) -> Callable:
     """Compiled eval forward: returns softmax probabilities (B, C) and logits."""
 

@@ -49,8 +49,8 @@ from deepfake_video_detection_tpu.checkpoint.store import (
 from deepfake_video_detection_tpu.train import losses as losses_mod
 from deepfake_video_detection_tpu.train import optim as optim_mod
 from deepfake_video_detection_tpu.train.state import TrainState
-from deepfake_video_detection_tpu.train.steps import (make_eval_step,
-    make_multi_step, make_train_step)
+from deepfake_video_detection_tpu.train.steps import (make_accum_step,
+    make_eval_step, make_multi_step, make_train_step)
 from deepfake_video_detection_tpu.utils.graph import chain_adjacency, normalize_adjacency
 
 # metric-name aliases ≙ ``src/ensemble_trainer.py:393-445``
@@ -99,6 +99,10 @@ class TrainerConfig:
     normalize: str = "imagenet"       # imagenet | clip | unit (x/255 only)
     compute_dtype: str = "float32"
     steps_per_call: int = 1           # optimizer steps fused per device dispatch
+    grad_accum: int = 1               # microbatches accumulated per optimizer
+                                      # step (exact big-batch gradients at
+                                      # 1/grad_accum the activation memory —
+                                      # see steps.make_accum_step)
     ema_decay: Optional[float] = None  # params-EMA (optim.ema_params); when
                                        # set, validation + best-ckpt selection
                                        # use the EMA weights and `*_ema.npz`
@@ -248,6 +252,48 @@ class Trainer:
                 model, self.tx, self.loss_fn, config.steps_per_call,
                 step_mesh, remat=config.remat, prep=_prep_train)
 
+        # ---- gradient accumulation: exact big-batch steps, 1/a the memory --
+        self.accum_step = None
+        if config.grad_accum > 1:
+            if config.steps_per_call > 1:
+                raise ValueError(
+                    "--grad_accum and --steps_per_call are mutually "
+                    "exclusive: one fuses k optimizer steps per dispatch, "
+                    "the other splits one step into microbatches")
+            if config.batch_size % config.grad_accum:
+                raise ValueError(
+                    f"batch_size ({config.batch_size}) must be divisible by "
+                    f"grad_accum ({config.grad_accum})")
+            if self._sharded_model and not getattr(plan, "scan_of_steps_ok",
+                                                   False):
+                raise ValueError(
+                    "--grad_accum composes with dp / tp / fsdp plans only — "
+                    "drop --grad_accum or the --seq/--pp_stages/"
+                    "--moe_experts flags")
+            n_data = (self.mesh.shape.get("data", 1)
+                      if self.mesh is not None else 1)
+            if (config.batch_size // config.grad_accum) % max(n_data, 1):
+                raise ValueError(
+                    f"microbatch size ({config.batch_size} / "
+                    f"{config.grad_accum}) must be divisible by the data-axis "
+                    f"size ({n_data})")
+
+            def _sample_weight(labels, valid):
+                # mirror losses._weighted_mean's weights (class weight ×
+                # validity) so microbatch gradients recombine to the exact
+                # full-batch gradient — see steps.make_accum_step
+                w = jnp.ones(labels.shape, jnp.float32)
+                if cw is not None:
+                    w = w * jnp.asarray(cw, jnp.float32)[labels]
+                if valid is not None:
+                    w = w * valid.astype(jnp.float32)
+                return w
+
+            self.accum_step = make_accum_step(
+                model, self.tx, self.loss_fn, config.grad_accum,
+                step_mesh, remat=config.remat, prep=_prep_train,
+                sample_weight_fn=_sample_weight)
+
     # ------------------------------------------------------------------
     # state init / resume
     # ------------------------------------------------------------------
@@ -360,6 +406,8 @@ class Trainer:
     def train_epoch(self, state: TrainState, epoch: int) -> tuple:
         if self.multi_step is not None:
             return self._train_epoch_multi(state, epoch)
+        if self.accum_step is not None:
+            return self._train_epoch_accum(state, epoch)
         loader = self._make_loader(self.train_ds, train=True, epoch=epoch)
         rng = jax.random.PRNGKey(self.cfg.seed * 9973 + epoch)
         tot_loss, tot_correct, tot_count = 0.0, 0, 0
@@ -371,6 +419,50 @@ class Trainer:
             batch.pop("paths", None)
             batch = self._prep_train(batch, k_aug)
             state, metrics = self.train_step(state, batch, k_drop)
+            n = int(metrics["count"])
+            tot_loss += float(metrics["loss"]) * n
+            tot_correct += int(metrics["correct"])
+            tot_count += n
+        return state, {
+            "train_loss": tot_loss / max(tot_count, 1),
+            "train_acc": tot_correct / max(tot_count, 1),
+            "epoch_time_s": time.time() - t0,
+        }
+
+    def _train_epoch_accum(self, state: TrainState, epoch: int) -> tuple:
+        """Epoch loop for ``grad_accum > 1``: each full-size batch is
+        reshaped host-side to ``(a, B/a, ...)`` microbatches and run as ONE
+        optimizer step whose gradient is accumulated over a ``lax.scan``
+        (``steps.make_accum_step``) — peak activation memory is that of one
+        microbatch. The loader's final partial batch is padded up to the
+        full compiled shape with ``valid=False`` rows (weighted-mean losses
+        give padding zero gradient weight), so a single XLA program serves
+        the entire epoch — no tail-shape recompiles through the TPU relay.
+        """
+        loader = self._make_loader(self.train_ds, train=True, epoch=epoch)
+        rng = jax.random.PRNGKey(self.cfg.seed * 9973 + epoch)
+        a, B = self.cfg.grad_accum, self.cfg.batch_size
+        tot_loss, tot_correct, tot_count = 0.0, 0, 0
+        t0 = time.time()
+
+        def to_micro(batch):
+            batch = self._attach_adjacency(batch)
+            batch.pop("paths", None)
+            n = batch["frames"].shape[0]
+            out = {}
+            for key, v in batch.items():
+                if n < B:  # tail: pad to the compiled shape; zeros => False
+                    pad = np.zeros((B - n,) + v.shape[1:], v.dtype)
+                    v = np.concatenate([v, pad], axis=0)
+                out[key] = v.reshape((a, B // a) + v.shape[1:])
+            return out
+
+        from jax.sharding import PartitionSpec as P
+        it = (to_micro(b) for b in loader)
+        for dev in prefetch_to_device(it, self.mesh,
+                                      batch_specs=lambda k: P(None, "data")):
+            rng, sub = jax.random.split(rng)
+            state, metrics = self.accum_step(state, dev, sub)
             n = int(metrics["count"])
             tot_loss += float(metrics["loss"]) * n
             tot_correct += int(metrics["correct"])

@@ -424,6 +424,94 @@ def test_multi_step_matches_sequential():
         mstate.params, state.params)
 
 
+def test_grad_accum_matches_full_batch():
+    """One accumulated step (make_accum_step, accum=4) must produce the same
+    optimizer step as make_train_step on the full batch — including class-
+    weighted losses and validity masking: microbatch means recombine by
+    their weight sums (see steps.make_accum_step docstring)."""
+    import functools
+
+    from deepfake_video_detection_tpu.train import losses as losses_mod
+    from deepfake_video_detection_tpu.train import optim as optim_mod
+    from deepfake_video_detection_tpu.train.state import TrainState
+    from deepfake_video_detection_tpu.train.steps import (make_accum_step,
+                                                          make_train_step)
+
+    model = TinyDetector()
+    variables = jax.tree_util.tree_map(np.asarray,
+                                       model.init(jax.random.PRNGKey(0)))
+    tx = optim_mod.build_optimizer("adamw", 1e-2, grad_clip=1.0)
+    cw = np.asarray([0.5, 1.5], np.float32)  # unequal: exercises weight sums
+    loss_fn = functools.partial(losses_mod.cross_entropy_loss,
+                                class_weights=cw)
+    rng = np.random.default_rng(0)
+    a, mB = 4, 3
+    B = a * mB
+    frames = rng.random((B, 2, 8, 8, 3)).astype(np.float32)
+    labels = rng.integers(0, 2, (B,)).astype(np.int64)
+    valid = np.ones((B,), bool)
+    valid[5] = valid[10] = False  # exercise masked rows mid-microbatch
+
+    step = make_train_step(model, tx, loss_fn, donate=False)
+    state = TrainState.create(jax.tree_util.tree_map(jax.device_put,
+                                                     variables), tx)
+    state, m = step(state, {"frames": frames, "labels": labels,
+                            "valid": valid}, jax.random.PRNGKey(7))
+
+    def swf(lab, val):
+        w = jnp.asarray(cw)[lab]
+        return w * val.astype(jnp.float32) if val is not None else w
+
+    accum = make_accum_step(model, tx, loss_fn, a, donate=False,
+                            sample_weight_fn=swf)
+    astate = TrainState.create(jax.tree_util.tree_map(jax.device_put,
+                                                      variables), tx)
+    batches = {"frames": frames.reshape((a, mB) + frames.shape[1:]),
+               "labels": labels.reshape(a, mB),
+               "valid": valid.reshape(a, mB)}
+    astate, am = accum(astate, batches, jax.random.PRNGKey(7))
+
+    assert int(am["count"]) == int(m["count"]) == B - 2
+    assert int(am["correct"]) == int(m["correct"])
+    assert float(am["loss"]) == pytest.approx(float(m["loss"]), rel=1e-6)
+    assert float(am["grad_norm"]) == pytest.approx(float(m["grad_norm"]),
+                                                   rel=1e-5)
+    assert int(astate.step) == 1
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                                rtol=1e-6, atol=1e-7),
+        astate.params, state.params)
+
+
+def test_trainer_grad_accum_matches_plain(npz_dir, tmp_path):
+    """Trainer with grad_accum=2 trains to the same parameters as the plain
+    per-batch loop (augment off for determinism), including the final
+    partial batch being padded up to the compiled shape with valid=False."""
+    model = TinyDetector()
+    ds = VideoFacesDataset(npz_dir, num_frames=4)
+    mesh = make_mesh()
+
+    def run(a, out):
+        # 24 clips / batch 16 → one full batch + a tail of 8 that the accum
+        # path pads to 16 (8 invalid rows) and the plain path runs at size 8
+        cfg = TrainerConfig(out_dir=str(tmp_path / out), epochs=2,
+                            batch_size=16, num_frames=4, lr=1e-2,
+                            balance="weights", augment=False, save_every=100,
+                            grad_accum=a, seed=3)
+        tr = Trainer(model, ds, ds, cfg, mesh=mesh)
+        state = tr.init_state()
+        for ep in range(cfg.epochs):
+            state, _ = tr.train_epoch(state, ep)
+        return jax.tree_util.tree_map(np.asarray, state.params)
+
+    p1 = run(1, "plain")
+    p2 = run(2, "accum")
+    jax.tree_util.tree_map(
+        lambda a_, b_: np.testing.assert_allclose(a_, b_, rtol=1e-5,
+                                                  atol=1e-6),
+        p1, p2)
+
+
 def test_trainer_steps_per_call_matches_plain(npz_dir, tmp_path):
     """Trainer with steps_per_call=2 trains to the same parameters as the
     plain per-batch loop (augment off for determinism), including the
