@@ -246,27 +246,46 @@ dz.addEventListener('drop', e => {
 dzfile.addEventListener('change', () => {
   if (dzfile.files.length) analyze(dzfile.files[0]);
 });
+// build result DOM with text nodes only — file names, error strings and
+// model output never flow through innerHTML (same rule as the chat panel)
+function msgP(cls, text) {
+  const p = document.createElement('p');
+  if (cls) p.className = cls;
+  p.textContent = text;
+  return p;
+}
 async function analyze(file) {
   const out = document.getElementById('dzout');
-  out.innerHTML = '<p class="muted">Analyzing ' + file.name + '…</p>';
+  out.replaceChildren(msgP('muted', 'Analyzing ' + file.name + '…'));
   const fd = new FormData();
   fd.append('video', file);
   try {
     const r = await fetch('/api/predict', {method: 'POST', body: fd});
     const j = await r.json();
-    if (j.error) { out.innerHTML = '<p class="verdict-unsure">' + j.error + '</p>'; return; }
+    if (j.error) { out.replaceChildren(msgP('verdict-unsure', j.error)); return; }
     const cls = j.prediction === 'Deepfake' ? 'verdict-fake'
               : j.prediction === 'Real' ? 'verdict-real' : 'verdict-unsure';
     const conf = typeof j.confidence === 'number'
                ? (j.confidence * 100).toFixed(1) + '%' : '–';
     const pf = typeof j.prob_fake === 'number'
              ? (j.prob_fake * 100).toFixed(1) + '%' : '–';
-    out.innerHTML = '<p>' + file.name + ': <span class="' + cls + '">' +
-      j.prediction + '</span> <span class="muted">confidence ' + conf +
-      ' · fake prob ' + pf + ' · faces ' + (j.num_faces ?? '–') + '</span></p>' +
-      '<details><summary>Details</summary><pre>' +
-      JSON.stringify(j, null, 2) + '</pre></details>';
-  } catch (err) { out.innerHTML = '<p class="verdict-unsure">' + err + '</p>'; }
+    const p = document.createElement('p');
+    p.append(file.name + ': ');
+    const verdict = document.createElement('span');
+    verdict.className = cls; verdict.textContent = j.prediction;
+    const meta = document.createElement('span');
+    meta.className = 'muted';
+    meta.textContent = ' confidence ' + conf + ' · fake prob ' + pf +
+      ' · faces ' + (j.num_faces ?? '–');
+    p.append(verdict, meta);
+    const det = document.createElement('details');
+    const sum = document.createElement('summary');
+    sum.textContent = 'Details';
+    const pre = document.createElement('pre');
+    pre.textContent = JSON.stringify(j, null, 2);
+    det.append(sum, pre);
+    out.replaceChildren(p, det);
+  } catch (err) { out.replaceChildren(msgP('verdict-unsure', String(err))); }
 }
 </script>""" + _INFO_SECTIONS, user)
 
