@@ -765,11 +765,17 @@ class App:
             if app.predictor is None:
                 return Response.json({"error": "Model not loaded"}, 400)
             ctype = req.environ.get("CONTENT_TYPE", "")
+            def truthy(v) -> bool:
+                return str(v or "").strip().lower() in ("1", "true", "yes", "on")
+
             if ctype.startswith("multipart/"):
                 saved = app._save_uploads(req)
                 if not saved:
                     return Response.json({"error": "no file"}, 400)
-                result = app.predictor.predict_video(saved[0][1])
+                explain = truthy(req.query.get("explain")) or \
+                    truthy(req.form_fields().get("explain"))
+                result = app.predictor.predict_video(saved[0][1],
+                                                     explain=explain)
                 app.last_results["__public__"] = result
                 return Response.json(result)
             data = req.json()
@@ -777,7 +783,9 @@ class App:
             if not path or not os.path.exists(path):
                 return Response.json({"error": "provide a file upload or a "
                                       "valid 'path'"}, 400)
-            result = app.predictor.predict_video(path)
+            explain = truthy(req.query.get("explain")) or \
+                truthy(data.get("explain"))
+            result = app.predictor.predict_video(path, explain=explain)
             if env_bool("API_ENABLE_AGENT", True) and not result.get("error"):
                 try:
                     decision = app.decision_agent.process({

@@ -23,6 +23,7 @@ uint8; host code only applies thresholds to the tiny prob vector.
 from __future__ import annotations
 
 import json
+import logging
 import os
 from typing import Any, Dict, Optional
 
@@ -32,6 +33,8 @@ from deepfake_video_detection_tpu.data.dataset import pad_or_sample_frames
 from deepfake_video_detection_tpu.data.faces import FaceExtractor
 from deepfake_video_detection_tpu.utils.config import env_float, env_int, env_bool, env_str
 from deepfake_video_detection_tpu.utils.graph import chain_adjacency, normalize_adjacency
+
+logger = logging.getLogger(__name__)
 
 
 def _get_fake_class_index(num_classes: int = 2) -> int:
@@ -181,6 +184,13 @@ class Predictor:
         if self._variables is None:  # non-DP paths: plain single placement
             self._variables = jax.device_put(variables)
 
+        # input-gradient saliency (serve/saliency.py) — built lazily on the
+        # first explain request: most deployments never pay its compile
+        import threading as _threading
+
+        self._saliency_fn = None
+        self._saliency_lock = _threading.Lock()
+
         # startup warmup (default on): compile the serving forward at the
         # configured shape in a background thread so the FIRST user request
         # doesn't pay the jit cost (minutes for a real backbone on a cold
@@ -238,18 +248,37 @@ class Predictor:
 
     # ------------------------------------------------------------------
 
-    def predict_video(self, video_path: str) -> Dict[str, Any]:
+    def predict_video(self, video_path: str,
+                      explain: bool = False) -> Dict[str, Any]:
         try:
-            return self._predict(video_path)
+            return self._predict(video_path, explain=explain)
         except Exception as e:  # the route must always get a dict
             return {"error": str(e)}
 
-    def predict_faces(self, faces: np.ndarray,
-                      video_id: str = "video") -> Dict[str, Any]:
+    def predict_faces(self, faces: np.ndarray, video_id: str = "video",
+                      explain: bool = False) -> Dict[str, Any]:
         """Run the decision policy on pre-extracted face crops."""
         if self.model_type in ("pretrained", "ensemble_pretrained", "temporal"):
-            return self._predict_pretrained(faces, video_id)
+            return self._predict_pretrained(faces, video_id, explain=explain)
         return self._predict_legacy(faces)
+
+    def explain_faces(self, faces: np.ndarray) -> Optional[Dict[str, Any]]:
+        """Per-frame spatial saliency for ``faces`` (T, H, W, 3) uint8 RGB —
+        the additive ``saliency`` result key (``serve/saliency.py``). None
+        for model families outside the pretrained/temporal serving forward."""
+        if self.model_type not in ("pretrained", "ensemble_pretrained",
+                                   "temporal"):
+            return None
+        import jax
+
+        from deepfake_video_detection_tpu.serve.saliency import (
+            make_saliency_fn, saliency_payload)
+
+        with self._saliency_lock:
+            if self._saliency_fn is None:
+                self._saliency_fn = jax.jit(make_saliency_fn(self.model))
+        grids = self._saliency_fn(self._variables, np.asarray(faces)[None])
+        return saliency_payload(np.asarray(grids)[0])
 
     # ------------------------------------------------------------------
 
@@ -267,7 +296,8 @@ class Predictor:
             return faces
         return faces[np.arange(total) % n]
 
-    def _predict(self, video_path: str) -> Dict[str, Any]:
+    def _predict(self, video_path: str,
+                 explain: bool = False) -> Dict[str, Any]:
         if self.model_type in ("pretrained", "ensemble_pretrained", "temporal"):
             max_frames = max(1, min(64, env_int("MAX_FRAMES", 8)))
             # long-video scanning (beyond parity — the reference analyses one
@@ -278,8 +308,10 @@ class Predictor:
             # a localized manipulation anywhere in a long video is caught.
             windows = max(1, min(64, env_int("SERVE_WINDOWS", 1)))
             total = max_frames * windows
-            if (self.extractor.detector == "center"
+            if (self.extractor.detector == "center" and not explain
                     and env_bool("SERVE_YUV_TRANSFER", True)):
+                # (explain requests take the RGB path below: saliency
+                # differentiates the RGB serving forward)
                 # production fast path (what bench.py measures): packed
                 # YUV420 over the host→device link, RGB on device
                 packed = self.extractor.extract_from_video_yuv(
@@ -300,7 +332,8 @@ class Predictor:
             faces = self._pad_to_fixed_scan_shape(faces, windows, total)
             return self._predict_pretrained(faces, os.path.basename(video_path),
                                             windows=windows,
-                                            n_extracted=n_extracted)
+                                            n_extracted=n_extracted,
+                                            explain=explain)
         faces = self.extractor.extract_from_video(video_path)
         if faces.shape[0] == 0:
             return {"error": "No faces detected in video"}
@@ -309,7 +342,8 @@ class Predictor:
     def _predict_pretrained(self, faces: np.ndarray, video_id: str,
                             packed_yuv: bool = False,
                             windows: int = 1,
-                            n_extracted: Optional[int] = None
+                            n_extracted: Optional[int] = None,
+                            explain: bool = False
                             ) -> Dict[str, Any]:
         import jax.numpy as jnp
 
@@ -441,6 +475,17 @@ class Predictor:
                                  for s in np.asarray(frame_scores)[widx]]}
         if win_payload is not None:
             base["windows"] = win_payload
+        if explain and not packed_yuv:
+            # spatial explanation of the DECIDING window (serve/saliency.py);
+            # rides through the abstain returns below via **base so uncertain
+            # verdicts still show where the detector looked
+            try:
+                sal = self.explain_faces(
+                    faces_w[widx] if windows > 1 else np.asarray(faces))
+                if sal is not None:
+                    base["saliency"] = sal
+            except Exception:
+                logger.exception("saliency explain failed for %s", video_id)
         if abstain_margin > 0.0 and abs(prob_fake - thr) <= abstain_margin:
             return {
                 "prediction": "Uncertain", "verdict_yes_no": "Unsure",

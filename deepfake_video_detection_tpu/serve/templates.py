@@ -224,6 +224,8 @@ def ui_page(user: Optional[str]) -> str:
 <div class="dropzone" id="dz">Drag &amp; drop a video here<br>
 <span class="muted">or click to choose — analyzed instantly via the API</span>
 <input type="file" id="dzfile" accept="video/*" style="display:none"></div>
+<p class="muted"><label><input type="checkbox" id="dzexplain"> show where the
+detector looks (saliency heat maps; one extra backward pass)</label></p>
 <div id="dzout"></div>
 <hr style="border-color:#232d4a">
 <form action="/results" method="post" enctype="multipart/form-data">
@@ -254,13 +256,44 @@ function msgP(cls, text) {
   p.textContent = text;
   return p;
 }
+// saliency heat-map row: one small canvas per analyzed frame, red = where
+// the detector's fake evidence concentrates (result.saliency from
+// /api/predict?explain=1)
+function heatRow(sal) {
+  const wrap = document.createElement('div');
+  const cap = msgP('muted', 'Detector attention per frame (red = evidence):');
+  wrap.append(cap);
+  const [gh, gw] = sal.grid;
+  for (const frame of sal.frames) {
+    const c = document.createElement('canvas');
+    c.width = gw; c.height = gh;
+    c.style.width = '72px'; c.style.height = '72px';
+    c.style.imageRendering = 'pixelated';
+    c.style.margin = '0 4px 4px 0';
+    c.style.border = '1px solid #232d4a';
+    const ctx = c.getContext('2d');
+    const img = ctx.createImageData(gw, gh);
+    for (let i = 0; i < gh * gw; i++) {
+      const v = Math.max(0, Math.min(1, frame[i] || 0));
+      img.data[4 * i] = Math.round(30 + 225 * v);       // R
+      img.data[4 * i + 1] = Math.round(34 * (1 - v));   // G
+      img.data[4 * i + 2] = Math.round(58 * (1 - v));   // B
+      img.data[4 * i + 3] = 255;
+    }
+    ctx.putImageData(img, 0, 0);
+    wrap.append(c);
+  }
+  return wrap;
+}
 async function analyze(file) {
   const out = document.getElementById('dzout');
   out.replaceChildren(msgP('muted', 'Analyzing ' + file.name + '…'));
   const fd = new FormData();
   fd.append('video', file);
+  const explain = document.getElementById('dzexplain').checked;
   try {
-    const r = await fetch('/api/predict', {method: 'POST', body: fd});
+    const r = await fetch('/api/predict' + (explain ? '?explain=1' : ''),
+                          {method: 'POST', body: fd});
     const j = await r.json();
     if (j.error) { out.replaceChildren(msgP('verdict-unsure', j.error)); return; }
     const cls = j.prediction === 'Deepfake' ? 'verdict-fake'
@@ -284,7 +317,8 @@ async function analyze(file) {
     const pre = document.createElement('pre');
     pre.textContent = JSON.stringify(j, null, 2);
     det.append(sum, pre);
-    out.replaceChildren(p, det);
+    if (j.saliency && j.saliency.frames) out.replaceChildren(p, heatRow(j.saliency), det);
+    else out.replaceChildren(p, det);
   } catch (err) { out.replaceChildren(msgP('verdict-unsure', String(err))); }
 }
 </script>""" + _INFO_SECTIONS, user)

@@ -153,6 +153,15 @@ def test_load_model_and_predict(served):
     status, _, body = call(app, "POST", "/api/predict", body_mp, ct)
     assert status == 200 and json.loads(body).get("prediction")
 
+    # explain=1 on a legacy (cnn_lstm) model: saliency targets the
+    # pretrained-family forward, so the flag is a harmless no-op here
+    status, _, body = call(app, "POST", "/api/predict",
+                           json.dumps({"path": vid, "explain": 1}).encode(),
+                           "application/json")
+    result = json.loads(body)
+    assert status == 200 and result.get("prediction")
+    assert "saliency" not in result
+
 
 def test_api_predict_with_haar_detector(tmp_path, monkeypatch):
     """The full serving stack over a REAL detector: encoded video with an
