@@ -41,10 +41,44 @@ from deepfake_video_detection_tpu.models.vit import VisionTransformer
 Params = Dict[str, Any]
 
 
+class TinyConvBackbone:
+    """2-conv stub backbone for sharding dryruns and fast tests.
+
+    The multi-chip dryrun phases that validate ring-attention / MoE / GPipe
+    collectives don't exercise the backbone at all — embedding a full
+    EfficientNet-B0 there only multiplies XLA compile time (the round-3
+    driver gate timed out on exactly that). This stub keeps the same
+    interface (``init``/``apply``/``feature_dim``) at ~1/1000 the graph size.
+    """
+
+    feature_dim = 32
+
+    def __init__(self, compute_dtype=jnp.float32):
+        self.compute_dtype = compute_dtype
+
+    def init(self, rng: jax.Array) -> Dict[str, Params]:
+        k1, k2 = jax.random.split(rng)
+        params = {
+            "conv1": {"weight": I.kaiming_normal(k1, (3, 3, 3, 16))},
+            "conv2": {"weight": I.kaiming_normal(k2, (3, 3, 16, self.feature_dim))},
+        }
+        return {"params": params, "state": {}}
+
+    def apply(self, variables, x, train: bool = False, rng=None):
+        p = variables["params"]
+        x = x.astype(self.compute_dtype)
+        x = jax.nn.relu(L.conv2d(p["conv1"], x, stride=2, padding=1))
+        x = jax.nn.relu(L.conv2d(p["conv2"], x, stride=2, padding=1))
+        return L.global_avg_pool(x), variables.get("state", {})
+
+
 def build_backbone(name: str, compute_dtype=jnp.float32):
     """Backbone factory mirroring the reference's name dispatch
-    (``src/pretrained_detector.py:37-57``)."""
+    (``src/pretrained_detector.py:37-57``); ``tinyconv`` is a first-party
+    stub for sharding dryruns (no reference counterpart)."""
     name = name.lower()
+    if name == "tinyconv":
+        return TinyConvBackbone(compute_dtype=compute_dtype)
     if name.startswith("resnet"):
         return ResNet(variant=name, num_classes=0, compute_dtype=compute_dtype)
     if name.startswith("efficientnet"):
