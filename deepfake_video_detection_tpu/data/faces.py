@@ -365,22 +365,62 @@ class FaceExtractor:
     def extract_from_video_yuv(self, path: str,
                                max_frames: Optional[int] = None,
                                out: Optional[np.ndarray] = None) -> np.ndarray:
-        """Transfer-optimal serving path (center detector only): seek-sampled
-        face crops as PACKED planar YUV420, (N, face_size²·3/2) uint8 — half
-        the host→device bytes of RGB. Decode on device with
+        """Transfer-optimal serving path (``center`` and ``haar`` detectors):
+        seek-sampled face crops as PACKED planar YUV420, (N, face_size²·3/2)
+        uint8 — half the host→device bytes of RGB. Decode on device with
         ``ops.yuv.yuv420_packed_to_rgb``.
+
+        For ``haar`` the whole pipeline — seek-decode, luma-plane
+        Viola-Jones with temporal tracking, face crop from the native YUV
+        planes — runs inside ONE GIL-free C++ call
+        (``data.video.sample_video_faces_haar_yuv``); semantics match the
+        RGB path: frames whose detection comes up empty are dropped, and a
+        clip with no detection anywhere falls back to center-prior crops
+        for every frame (≙ ``extract_from_frames``' whole-clip fallback).
+        The crop boxes / found mask of the last call are kept on
+        ``self.last_boxes`` / ``self.last_found`` for introspection.
 
         ``out``: optional preallocated (max_frames, face_size²·3/2) uint8
         slot (e.g. a view into a batch buffer) — the decode writes in place
         so batch assembly needs no ``np.stack`` copy on the hot thread."""
-        if self.detector != "center":
-            raise ValueError("YUV fast path requires detector='center' "
-                             f"(got {self.detector!r})")
+        if self.detector not in ("center", "haar"):
+            raise ValueError("YUV fast path requires detector 'center' or "
+                             f"'haar' (got {self.detector!r})")
+        if max_frames is None:
+            max_frames = max(1, min(_env_int("MAX_FRAMES", 8), 64))
+        if self.detector == "haar":
+            from deepfake_video_detection_tpu.data.haar import (
+                get_default_cascade)
+            from deepfake_video_detection_tpu.data.video import (
+                sample_video_faces_haar_yuv)
+
+            cascade = get_default_cascade()
+            track = (not self.keep_all
+                     and os.environ.get("HAAR_TRACK", "1").strip().lower()
+                     not in ("0", "false", "no"))
+            try:
+                expand = float(os.environ.get("HAAR_TRACK_EXPAND", "") or 2.0)
+            except ValueError:
+                expand = 2.0
+            packed, boxes, found = sample_video_faces_haar_yuv(
+                path, cascade, face_size=self.face_size,
+                n_frames=max_frames, margin=self.margin,
+                max_side=_env_int("HAAR_MAX_SIDE", 320),
+                min_neighbors=_env_int("HAAR_MIN_NEIGHBORS", 4),
+                track=track, track_expand=max(1.2, expand),
+                acquire=_env_int("HAAR_ACQUIRE", 1) != 0, out=out)
+            self.last_boxes, self.last_found = boxes, found
+            if found.any() and not found.all():
+                # reference drop-undetected semantics (app.py:1988-2025),
+                # compacted in place so a caller-provided batch slot stays
+                # dense
+                k = int(found.sum())
+                packed[:k] = packed[found]
+                return packed[:k]
+            return packed
         from deepfake_video_detection_tpu.data.video import (
             sample_video_faces_spread_yuv)
 
-        if max_frames is None:
-            max_frames = max(1, min(_env_int("MAX_FRAMES", 8), 64))
         return sample_video_faces_spread_yuv(
             path, face_size=self.face_size, n_frames=max_frames,
             margin=self.margin, out=out)

@@ -39,7 +39,9 @@ class VideoDecodeError(RuntimeError):
 def _build_library() -> str:
     os.makedirs(os.path.dirname(_SO_PATH), exist_ok=True)
     src = os.path.join(_NATIVE_DIR, "videodec.cc")
-    cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", _SO_PATH, src,
+    haar_src = os.path.join(_NATIVE_DIR, "haar.cc")  # in-decoder face scan
+    cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", _SO_PATH,
+           src, haar_src,
            "-lavformat", "-lavcodec", "-lavutil", "-lswscale"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
@@ -57,10 +59,12 @@ def _get_lib():
         if _lib is not None:
             return _lib
         so = _SO_PATH
-        src = os.path.join(_NATIVE_DIR, "videodec.cc")
+        srcs = [os.path.join(_NATIVE_DIR, "videodec.cc"),
+                os.path.join(_NATIVE_DIR, "haar.cc")]
         if (not os.path.exists(so)
-                or (os.path.exists(src)
-                    and os.path.getmtime(src) > os.path.getmtime(so))):
+                or any(os.path.exists(s)
+                       and os.path.getmtime(s) > os.path.getmtime(so)
+                       for s in srcs)):
             _build_library()
         lib = ctypes.CDLL(so)
         lib.vd_probe.argtypes = [
@@ -93,6 +97,22 @@ def _get_lib():
         lib.vd_sample_seek_center.restype = ctypes.c_int
         lib.vd_sample_seek_center_yuv.argtypes = lib.vd_sample_seek_center.argtypes
         lib.vd_sample_seek_center_yuv.restype = ctypes.c_int
+        lib.vd_sample_seek_faces_yuv.argtypes = [
+            ctypes.c_char_p, ctypes.c_int,
+            # cascade arrays (HaarCascade, data/haar.py)
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            # max_side, min_neighbors, track, track_expand, acquire
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            ctypes.c_int,
+            # face_size, margin_ppm
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_char_p, ctypes.c_int]
+        lib.vd_sample_seek_faces_yuv.restype = ctypes.c_int
         lib.vd_encode.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
@@ -270,6 +290,96 @@ def sample_video_faces_spread_yuv(
     if n < 0:
         raise VideoDecodeError(f"{path}: {err.value.decode(errors='replace')}")
     return out[:n]
+
+
+def _cascade_ctypes_views(cascade):
+    """Contiguous, correctly-typed views of a parsed HaarCascade's arrays,
+    cached on the cascade instance (built once, reused per clip)."""
+    views = getattr(cascade, "_native_views", None)
+    if views is None:
+        views = (
+            np.ascontiguousarray(cascade.rects, np.int32),
+            np.ascontiguousarray(cascade.weights, np.float64),
+            np.ascontiguousarray(cascade.feat_idx, np.int32),
+            np.ascontiguousarray(cascade.node_thr, np.float64),
+            np.ascontiguousarray(cascade.leaves, np.float64),
+            np.ascontiguousarray(cascade.stage_ends, np.int32),
+            np.ascontiguousarray(cascade.stage_thr, np.float64),
+        )
+        cascade._native_views = views
+    return views
+
+
+def sample_video_faces_haar_yuv(
+    path: str,
+    cascade,
+    face_size: int = 224,
+    n_frames: int = 8,
+    margin: float = 0.1,
+    max_side: int = 320,
+    min_neighbors: int = 4,
+    track: bool = True,
+    track_expand: float = 2.0,
+    acquire: bool = True,
+    out: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Seek-sample ``n_frames`` keyframes with REAL face detection, entirely
+    inside the C++ decoder (``native/videodec.cc:vd_sample_seek_faces_yuv``):
+    Viola-Jones largest-face on the decoder's luma plane at detection
+    resolution (no full-res RGB conversion), temporal ROI tracking, crop
+    from the native YUV planes. ≙ the reference's production detection path
+    (``app.py:1988-2025``) at in-decoder cost. GIL-free for the whole call.
+
+    ``acquire`` (default on) uses coarse-to-fine acquisition on non-tracked
+    frames — a half-resolution full scan + full-res ROI refinement, ~3x
+    cheaper on textured content; faces smaller than ~2 detection windows
+    (~15 % of frame height at max_side=320) then rely on the full-res
+    fallback scan that runs whenever the coarse pass finds nothing.
+
+    Returns ``(packed, boxes, found)``: packed planar-YUV420 face crops
+    (k, face_size²·3/2) uint8; the crop boxes (k, 4) float32 xyxy; and a
+    (k,) bool mask — True where a face was detected (False frames carry the
+    centered-square prior crop instead of being dropped, keeping batch
+    slots dense; callers wanting the reference's drop-undetected semantics
+    filter by ``found``).
+    """
+    assert face_size % 2 == 0, "yuv420 needs an even face size"
+    if cascade.win_w != cascade.win_h:
+        raise ValueError("native face pipeline assumes a square haar window")
+    lib = _get_lib()
+    frame_bytes = face_size * face_size * 3 // 2
+    if out is None:
+        out = np.empty((n_frames, frame_bytes), np.uint8)
+    elif (out.dtype != np.uint8 or out.shape != (n_frames, frame_bytes)
+          or not out.flags.c_contiguous):
+        raise ValueError(
+            "out buffer must be C-contiguous uint8 of shape "
+            f"{(n_frames, frame_bytes)}; got {out.dtype} {out.shape}")
+    (rects, weights, feat_idx, node_thr, leaves, stage_ends,
+     stage_thr) = _cascade_ctypes_views(cascade)
+    boxes = np.empty((n_frames, 4), np.float32)
+    found = np.zeros((n_frames,), np.uint8)
+    err = ctypes.create_string_buffer(256)
+
+    def p(a, ct):
+        return a.ctypes.data_as(ctypes.POINTER(ct))
+
+    n = lib.vd_sample_seek_faces_yuv(
+        path.encode(), int(n_frames),
+        p(rects, ctypes.c_int32), p(weights, ctypes.c_double),
+        p(feat_idx, ctypes.c_int32), p(node_thr, ctypes.c_double),
+        p(leaves, ctypes.c_double), p(stage_ends, ctypes.c_int32),
+        p(stage_thr, ctypes.c_double), int(cascade.n_stages),
+        int(cascade.win_w), int(cascade.win_h),
+        int(max_side), int(min_neighbors), 1 if track else 0,
+        float(track_expand), 1 if acquire else 0,
+        int(face_size), _margin_ppm(margin),
+        p(out, ctypes.c_uint8), p(boxes, ctypes.c_float),
+        p(found, ctypes.c_uint8), err, 256)
+    if n < 0:
+        raise VideoDecodeError(f"{path}: {err.value.decode(errors='replace')}")
+    # found codes: 0 none, 1 tracked-roi, 2 coarse-acquired, 3 full-scan
+    return out[:n], boxes[:n], found[:n] > 0
 
 
 def encode_video(path: str, frames: np.ndarray, fps: int = 25) -> None:

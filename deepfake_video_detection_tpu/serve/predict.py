@@ -217,7 +217,7 @@ class Predictor:
             T = max(1, min(64, env_int("MAX_FRAMES", 8)))
             size = self.extractor.face_size
             n_dp = getattr(self, "_n_dp", 1)
-            yuv = (self.extractor.detector == "center"
+            yuv = (self.extractor.detector in ("center", "haar")
                    and env_bool("SERVE_YUV_TRANSFER", True))
             # the windowed-scan path (SERVE_WINDOWS>1) runs its own
             # (w_pad, T) batch shape — pre-compile it too so the first
@@ -308,12 +308,14 @@ class Predictor:
             # a localized manipulation anywhere in a long video is caught.
             windows = max(1, min(64, env_int("SERVE_WINDOWS", 1)))
             total = max_frames * windows
-            if (self.extractor.detector == "center" and not explain
+            if (self.extractor.detector in ("center", "haar") and not explain
                     and env_bool("SERVE_YUV_TRANSFER", True)):
                 # (explain requests take the RGB path below: saliency
                 # differentiates the RGB serving forward)
                 # production fast path (what bench.py measures): packed
-                # YUV420 over the host→device link, RGB on device
+                # YUV420 over the host→device link, RGB on device; for haar
+                # the detection itself runs in-decoder on the luma plane
+                # (data/faces.py extract_from_video_yuv)
                 packed = self.extractor.extract_from_video_yuv(
                     video_path, max_frames=total)
                 if packed.shape[0] == 0:

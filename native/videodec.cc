@@ -24,9 +24,11 @@ extern "C" {
 
 #include <algorithm>
 #include <climits>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <vector>
 
 namespace {
 
@@ -597,6 +599,465 @@ int vd_encode(const char* path, const uint8_t* rgb, int n, int w, int h,
   avcodec_free_context(&enc);
   avformat_free_context(fmt);
   return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// In-decoder Haar face pipeline: detect on the decoder's Y plane at the
+// detection resolution, crop ONLY the detected face from the native YUV
+// planes. This is the serving path for FACE_DETECTOR=haar — the reference
+// always runs real detection in production (app.py:1988-2025); the round-3
+// measurement showed the detector itself costs ~9 ms/frame tracked while
+// decoding full frames to RGB for it cost ~450 ms/clip. Everything here runs
+// GIL-free inside the ctypes call, so decode+detect overlap the TPU forward
+// across the serving thread pool. The pyramid scan is the SAME engine the
+// Python detector uses (haar_scan, native/haar.cc — linked into this
+// library); grouping + largest-face + temporal tracking are ported from
+// data/haar.py::group_rectangles and data/faces.py::_detect_haar.
+// ---------------------------------------------------------------------------
+
+extern "C" int haar_scan(const float* gray, int H, int W, const int32_t* rects,
+                         const double* weights, const int32_t* feat_idx,
+                         const double* node_thr, const double* leaves,
+                         const int32_t* stage_ends, const double* stage_thr,
+                         int n_stages, int win_w, int win_h,
+                         double scale_factor, int min_size, int max_size,
+                         float* out_xys, int max_out);
+
+namespace {
+
+struct HaarModel {  // borrowed views of the caller's parsed cascade arrays
+  const int32_t* rects;
+  const double* weights;
+  const int32_t* feat_idx;
+  const double* node_thr;
+  const double* leaves;
+  const int32_t* stage_ends;
+  const double* stage_thr;
+  int n_stages, win_w, win_h;
+};
+
+// contiguous float32 → float32 bilinear (coarse acquisition downscale)
+void resize_f32_bilinear(const float* src, int h, int w, float* dst, int oh,
+                         int ow) {
+  for (int oy = 0; oy < oh; ++oy) {
+    float fy = (oy + 0.5f) * (float)h / oh - 0.5f;
+    int y0 = (int)std::floor(fy);
+    float wy = fy - y0;
+    if (y0 < 0) { y0 = 0; wy = 0.f; }
+    if (y0 > h - 1) { y0 = h - 1; wy = 0.f; }
+    int y1 = y0 + 1 < h ? y0 + 1 : h - 1;
+    const float* r0 = src + (size_t)y0 * w;
+    const float* r1 = src + (size_t)y1 * w;
+    for (int ox = 0; ox < ow; ++ox) {
+      float fx = (ox + 0.5f) * (float)w / ow - 0.5f;
+      int x0 = (int)std::floor(fx);
+      float wx = fx - x0;
+      if (x0 < 0) { x0 = 0; wx = 0.f; }
+      if (x0 > w - 1) { x0 = w - 1; wx = 0.f; }
+      int x1 = x0 + 1 < w ? x0 + 1 : w - 1;
+      float top = r0[x0] * (1 - wx) + r0[x1] * wx;
+      float bot = r1[x0] * (1 - wx) + r1[x1] * wx;
+      dst[(size_t)oy * ow + ox] = top * (1 - wy) + bot * wy;
+    }
+  }
+}
+
+// strided uint8 plane → contiguous float32, bilinear, same center-aligned
+// sampling grid as the detector's own resize (native/haar.cc)
+void resize_u8_bilinear(const uint8_t* src, int stride, int h, int w,
+                        float* dst, int oh, int ow) {
+  for (int oy = 0; oy < oh; ++oy) {
+    float fy = (oy + 0.5f) * (float)h / oh - 0.5f;
+    int y0 = (int)std::floor(fy);
+    float wy = fy - y0;
+    if (y0 < 0) { y0 = 0; wy = 0.f; }
+    if (y0 > h - 1) { y0 = h - 1; wy = 0.f; }
+    int y1 = y0 + 1 < h ? y0 + 1 : h - 1;
+    const uint8_t* r0 = src + (size_t)y0 * stride;
+    const uint8_t* r1 = src + (size_t)y1 * stride;
+    for (int ox = 0; ox < ow; ++ox) {
+      float fx = (ox + 0.5f) * (float)w / ow - 0.5f;
+      int x0 = (int)std::floor(fx);
+      float wx = fx - x0;
+      if (x0 < 0) { x0 = 0; wx = 0.f; }
+      if (x0 > w - 1) { x0 = w - 1; wx = 0.f; }
+      int x1 = x0 + 1 < w ? x0 + 1 : w - 1;
+      float top = r0[x0] * (1 - wx) + r0[x1] * wx;
+      float bot = r1[x0] * (1 - wx) + r1[x1] * wx;
+      dst[(size_t)oy * ow + ox] = top * (1 - wy) + bot * wy;
+    }
+  }
+}
+
+// Port of data/haar.py::group_rectangles specialised to the serving need:
+// cluster raw (x, y, side) windows (eps=0.2 edge similarity, union-find),
+// average each cluster with >= min_neighbors members, return the
+// AREA-LARGEST averaged box (xywh) — the reference keeps max(rects, by
+// area), app.py:2001-2012.
+bool group_largest(const float* xys, int n, int min_neighbors,
+                   double out_xywh[4]) {
+  if (n <= 0) return false;
+  std::vector<int> parent(n);
+  for (int i = 0; i < n; ++i) parent[i] = i;
+  auto find = [&](int i) {
+    while (parent[i] != i) {
+      parent[i] = parent[parent[i]];
+      i = parent[i];
+    }
+    return i;
+  };
+  const double eps = 0.2;
+  for (int i = 0; i < n; ++i) {
+    double xi = xys[i * 3], yi = xys[i * 3 + 1], si = xys[i * 3 + 2];
+    for (int j = i + 1; j < n; ++j) {
+      double xj = xys[j * 3], yj = xys[j * 3 + 1], sj = xys[j * 3 + 2];
+      double d = eps * std::min(si, sj);  // w==h==side for square windows
+      if (std::abs(xi - xj) <= d && std::abs(yi - yj) <= d &&
+          std::abs(xi + si - xj - sj) <= d &&
+          std::abs(yi + si - yj - sj) <= d) {
+        int ri = find(i), rj = find(j);
+        if (ri != rj) parent[rj] = ri;
+      }
+    }
+  }
+  std::vector<double> sx(n, 0), sy(n, 0), ss(n, 0);
+  std::vector<int> cnt(n, 0);
+  for (int i = 0; i < n; ++i) {
+    int r = find(i);
+    sx[r] += xys[i * 3];
+    sy[r] += xys[i * 3 + 1];
+    ss[r] += xys[i * 3 + 2];
+    ++cnt[r];
+  }
+  double best_area = -1.0;
+  for (int r = 0; r < n; ++r) {
+    if (cnt[r] < min_neighbors) continue;
+    double s = ss[r] / cnt[r];
+    if (s * s > best_area) {
+      best_area = s * s;
+      out_xywh[0] = sx[r] / cnt[r];
+      out_xywh[1] = sy[r] / cnt[r];
+      out_xywh[2] = s;
+      out_xywh[3] = s;
+    }
+  }
+  return best_area > 0.0;
+}
+
+// One largest-face detection on a prepared gray image (detection coords).
+bool detect_largest_gray(const HaarModel& m, const float* gray, int gh,
+                         int gw, int min_neighbors, int min_size,
+                         int max_size, double out_xywh[4],
+                         std::vector<float>& raw) {
+  const int cap = 8192;
+  raw.resize((size_t)cap * 3);
+  int n = haar_scan(gray, gh, gw, m.rects, m.weights, m.feat_idx, m.node_thr,
+                    m.leaves, m.stage_ends, m.stage_thr, m.n_stages, m.win_w,
+                    m.win_h, /*scale_factor=*/1.1, min_size, max_size,
+                    raw.data(), cap);
+  if (n <= 0) return false;
+  if (n > cap) n = cap;
+  return group_largest(raw.data(), n, min_neighbors, out_xywh);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Seek-decode `n_frames` keyframes evenly spread over the clip; per frame:
+// Viola-Jones largest-face detection on the (<= max_side)-downscaled LUMA
+// plane (limited-range Y is an affine transform of BT.601 gray, and the
+// cascade's per-window variance normalization is affine-invariant), with
+// temporal ROI tracking (track != 0, expand ~2.0: scan only around the
+// previous box at +-60% of its size, full rescan the moment the track
+// loses); then crop the margin-expanded face box from the NATIVE YUV
+// planes and scale to (face_size, face_size) planar YUV420, packed per
+// frame (Y | U | V — face_size^2*3/2 bytes). Frames with no detection get
+// the centered-square prior (margin_ppm, same integer math as
+// vd_sample_seek_center_yuv) and out_found[i] = 0.
+//
+// acquire != 0 enables coarse-to-fine acquisition for non-tracked frames:
+// half-resolution full scan (1/4 the windows) + full-res ROI refinement,
+// falling back to the full-res scan when the coarse pass finds nothing.
+//
+// out:       (n_frames, face_size*face_size*3/2) uint8
+// out_boxes: (n_frames, 4) float32 xyxy — the crop actually taken, original
+//            frame coordinates
+// out_found: (n_frames,) uint8 — 0 none, 1 tracked-roi, 2 coarse-acquired,
+//            3 full-scan
+// Returns frames written, or -1 (err filled).
+int vd_sample_seek_faces_yuv(
+    const char* path, int n_frames, const int32_t* rects,
+    const double* weights, const int32_t* feat_idx, const double* node_thr,
+    const double* leaves, const int32_t* stage_ends, const double* stage_thr,
+    int n_stages, int win_w, int win_h, int max_side, int min_neighbors,
+    int track, double track_expand, int acquire, int face_size,
+    int margin_ppm, uint8_t* out, float* out_boxes, uint8_t* out_found,
+    char* err, int errlen) {
+  if (n_frames < 1) n_frames = 1;
+  if (face_size & 1) {
+    snprintf(err, errlen, "face_size must be even for yuv420");
+    return -1;
+  }
+  if (max_side < win_w * 2) max_side = win_w * 2;
+  HaarModel hm{rects,      weights,  feat_idx, node_thr, leaves,
+               stage_ends, stage_thr, n_stages, win_w,    win_h};
+
+  Ctx* c = open_ctx(path, err, errlen, /*threads=*/1);
+  if (!c) return -1;
+  enable_keyframe_fast_path(c);
+
+  AVStream* st = c->fmt->streams[c->stream_idx];
+  int64_t start = st->start_time == AV_NOPTS_VALUE ? 0 : st->start_time;
+  int64_t dur = st->duration;
+  if (dur == AV_NOPTS_VALUE || dur <= 0) {
+    if (c->fmt->duration > 0)
+      dur = av_rescale_q(c->fmt->duration, AV_TIME_BASE_Q, st->time_base);
+    else
+      dur = 0;
+  }
+  bool seekable = dur > 0;
+
+  const int W = c->dec->width, H = c->dec->height;
+  const AVPixFmtDescriptor* desc = av_pix_fmt_desc_get(c->dec->pix_fmt);
+  const int align_x = 1 << (desc ? desc->log2_chroma_w : 1);
+  const int align_y = 1 << (desc ? desc->log2_chroma_h : 1);
+  const bool planar_luma8 =
+      desc && !(desc->flags & AV_PIX_FMT_FLAG_RGB) && desc->nb_components &&
+      desc->comp[0].plane == 0 && desc->comp[0].step == 1 &&
+      desc->comp[0].depth == 8;
+
+  // detection geometry: scale derives from the FULL frame so tracked ROI
+  // passes see the same pyramid granularity as full-frame passes
+  const double scale = std::max(1.0, (double)std::max(W, H) / max_side);
+  const int gw = std::max(win_w, (int)std::lround(W / scale));
+  const int gh = std::max(win_h, (int)std::lround(H / scale));
+
+  // center-prior fallback box (same integer math as seek_sample_impl)
+  const int cside = std::max(
+      2, (int)((int64_t)std::min(W, H) * (1000000 - (int64_t)margin_ppm) /
+               1000000));
+  const int cx0 = (W - cside) / 2, cy0 = (H - cside) / 2;
+
+  const size_t frame_bytes = (size_t)face_size * face_size * 3 / 2;
+  int written = 0;
+  bool have_prev = false;
+  double prev[4] = {0, 0, 0, 0};  // last detected face, xyxy original coords
+  std::vector<float> gray((size_t)gh * gw), roi_buf, raw;
+  SwsContext* crop_sws = nullptr;
+  SwsContext* gray_sws = nullptr;
+
+  auto process_frame = [&](AVFrame* f) {
+    // ---- 1. detection gray (luma, detection resolution) -----------------
+    if (planar_luma8 && f->data[0]) {
+      resize_u8_bilinear(f->data[0], f->linesize[0], H, W, gray.data(), gh,
+                         gw);
+    } else {  // exotic pix fmt: let swscale produce the gray
+      static thread_local std::vector<uint8_t> g8;
+      g8.resize((size_t)gh * gw);
+      gray_sws = sws_getCachedContext(gray_sws, W, H, c->dec->pix_fmt, gw, gh,
+                                      AV_PIX_FMT_GRAY8, SWS_FAST_BILINEAR,
+                                      nullptr, nullptr, nullptr);
+      uint8_t* dst[1] = {g8.data()};
+      int dst_stride[1] = {gw};
+      sws_scale(gray_sws, f->data, f->linesize, 0, H, dst, dst_stride);
+      for (size_t i = 0; i < g8.size(); ++i) gray[i] = g8[i];
+    }
+
+    // ---- 2. largest-face detection with temporal tracking ---------------
+    bool found = false;
+    int how = 0;  // 1=tracked roi, 2=coarse acquisition(+refine), 3=full
+    double box[4];  // xywh, detection coords (offset-corrected for ROI)
+
+    // ROI scan around a center/size prior at full detection resolution —
+    // shared by temporal tracking and coarse-acquisition refinement.
+    // cx/cy/side in DETECTION coords.
+    auto roi_scan = [&](double cx, double cy, double side, double expand,
+                        double lo, double hi, double out_box[4]) -> bool {
+      double half = 0.5 * side * expand;
+      int rx0 = std::max(0, (int)std::floor(cx - half));
+      int ry0 = std::max(0, (int)std::floor(cy - half));
+      int rx1 = std::min(gw, (int)std::ceil(cx + half));
+      int ry1 = std::min(gh, (int)std::ceil(cy + half));
+      int rw = rx1 - rx0, rh = ry1 - ry0;
+      if (rw < win_w || rh < win_h) return false;
+      roi_buf.resize((size_t)rw * rh);
+      for (int y = 0; y < rh; ++y)
+        std::memcpy(roi_buf.data() + (size_t)y * rw,
+                    gray.data() + (size_t)(ry0 + y) * gw + rx0,
+                    sizeof(float) * rw);
+      int mn = std::max(win_w, (int)(lo * side));
+      int mx = std::max(win_w, (int)(hi * side));
+      if (!detect_largest_gray(hm, roi_buf.data(), rh, rw, min_neighbors, mn,
+                               mx, out_box, raw))
+        return false;
+      out_box[0] += rx0;
+      out_box[1] += ry0;
+      return true;
+    };
+
+    if (track && have_prev) {
+      double side = std::max(prev[2] - prev[0], prev[3] - prev[1]) / scale;
+      double cx = 0.5 * (prev[0] + prev[2]) / scale;
+      double cy = 0.5 * (prev[1] + prev[3]) / scale;
+      if (roi_scan(cx, cy, side, track_expand, 0.6, 1.6, box)) {
+        found = true;
+        how = 1;
+      }
+    }
+    if (!found && acquire) {
+      // Coarse-to-fine acquisition: a half-resolution full scan costs 1/4
+      // the windows of a full-res scan (the full scan is ~4x the cost of
+      // everything else per clip on realistically textured content), then
+      // a full-res ROI refinement recovers the localization quality. The
+      // implied minimum detectable face is 2*win_w detection pixels
+      // (~15% of frame height at the default HAAR_MAX_SIDE) — smaller
+      // faces fall through to the full-res scan below.
+      int aw = std::max(win_w, gw / 2), ah = std::max(win_h, gh / 2);
+      std::vector<float> coarse((size_t)aw * ah);
+      resize_f32_bilinear(gray.data(), gh, gw, coarse.data(), ah, aw);
+      double cbox[4];
+      if (detect_largest_gray(hm, coarse.data(), ah, aw, min_neighbors,
+                              win_w, 0, cbox, raw)) {
+        double fx = (double)gw / aw, fy = (double)gh / ah;
+        double side = cbox[2] * fx;
+        double cx = (cbox[0] + 0.5 * cbox[2]) * fx;
+        double cy = (cbox[1] + 0.5 * cbox[3]) * fy;
+        if (roi_scan(cx, cy, side, 1.6, 0.6, 1.6, box)) {
+          found = true;
+        } else {  // refinement missed: the coarse box itself is a valid
+          box[0] = cbox[0] * fx;  // (coarser-grid) detection — keep it
+          box[1] = cbox[1] * fy;
+          box[2] = side;
+          box[3] = cbox[3] * fy;
+          found = true;
+        }
+        how = 2;
+      }
+    }
+    if (!found) {  // acquisition off/empty: full-resolution full scan
+      found = detect_largest_gray(hm, gray.data(), gh, gw, min_neighbors,
+                                  win_w, 0, box, raw);
+      if (found) how = 3;
+    }
+
+    // ---- 3. crop box in original coords (margin-expanded) ----------------
+    double m = (double)margin_ppm / 1000000.0;
+    double x1, y1, x2, y2;
+    if (found) {
+      double bw = box[2] * scale, bh = box[3] * scale;
+      x1 = box[0] * scale - bw * m;
+      y1 = box[1] * scale - bh * m;
+      x2 = box[0] * scale + bw * (1 + m);
+      y2 = box[1] * scale + bh * (1 + m);
+      prev[0] = box[0] * scale;
+      prev[1] = box[1] * scale;
+      prev[2] = (box[0] + box[2]) * scale;
+      prev[3] = (box[1] + box[3]) * scale;
+      have_prev = true;
+    } else {
+      x1 = cx0;
+      y1 = cy0;
+      x2 = cx0 + cside;
+      y2 = cy0 + cside;
+      have_prev = false;
+    }
+    int crop_x = std::max(0, std::min((int)std::lround(x1), W - 2));
+    int crop_y = std::max(0, std::min((int)std::lround(y1), H - 2));
+    int crop_w = std::max(2, std::min((int)std::lround(x2 - x1), W - crop_x));
+    int crop_h = std::max(2, std::min((int)std::lround(y2 - y1), H - crop_y));
+    crop_x -= crop_x % align_x;
+    crop_y -= crop_y % align_y;
+
+    // ---- 4. crop + scale from the native YUV planes ----------------------
+    crop_sws = sws_getCachedContext(crop_sws, crop_w, crop_h, c->dec->pix_fmt,
+                                    face_size, face_size, AV_PIX_FMT_YUV420P,
+                                    SWS_FAST_BILINEAR, nullptr, nullptr,
+                                    nullptr);
+    const uint8_t* src[4];
+    crop_src_planes(f, desc, crop_x, crop_y, src);
+    uint8_t* base = out + (size_t)written * frame_bytes;
+    uint8_t* dst[3] = {base, base + (size_t)face_size * face_size,
+                       base + (size_t)face_size * face_size +
+                           (size_t)(face_size / 2) * (face_size / 2)};
+    int dst_stride[3] = {face_size, face_size / 2, face_size / 2};
+    sws_scale(crop_sws, src, f->linesize, 0, crop_h, dst, dst_stride);
+    if (out_boxes) {
+      out_boxes[written * 4] = (float)crop_x;
+      out_boxes[written * 4 + 1] = (float)crop_y;
+      out_boxes[written * 4 + 2] = (float)(crop_x + crop_w);
+      out_boxes[written * 4 + 3] = (float)(crop_y + crop_h);
+    }
+    if (out_found) out_found[written] = (uint8_t)how;
+    ++written;
+  };
+
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+
+  if (seekable) {
+    for (int i = 0; i < n_frames; ++i) {
+      int64_t target = start + dur * (2 * i + 1) / (2 * n_frames);
+      if (av_seek_frame(c->fmt, c->stream_idx, target, AVSEEK_FLAG_BACKWARD) <
+          0) {
+        seekable = false;
+        break;
+      }
+      avcodec_flush_buffers(c->dec);
+      bool got = false;
+      for (int reads = 0; !got && reads < 256; ++reads) {
+        if (av_read_frame(c->fmt, pkt) < 0) break;
+        if (pkt->stream_index != c->stream_idx) {
+          av_packet_unref(pkt);
+          continue;
+        }
+        int rc = avcodec_send_packet(c->dec, pkt);
+        av_packet_unref(pkt);
+        if (rc < 0) continue;
+        while (avcodec_receive_frame(c->dec, frame) == 0) {
+          if (!got) {
+            process_frame(frame);
+            got = true;
+          }
+        }
+      }
+      if (!got) break;
+    }
+  }
+
+  if (written == 0) {  // unseekable/broken container: sequential key scan
+    av_seek_frame(c->fmt, c->stream_idx, start, AVSEEK_FLAG_BACKWARD);
+    avcodec_flush_buffers(c->dec);
+    bool done = false;
+    while (!done && av_read_frame(c->fmt, pkt) >= 0) {
+      if (pkt->stream_index == c->stream_idx) {
+        if (avcodec_send_packet(c->dec, pkt) == 0) {
+          while (!done && avcodec_receive_frame(c->dec, frame) == 0) {
+            if (frame_is_key(frame) && written < n_frames)
+              process_frame(frame);
+            if (written >= n_frames) done = true;
+          }
+        }
+      }
+      av_packet_unref(pkt);
+    }
+    if (!done) {
+      avcodec_send_packet(c->dec, nullptr);
+      while (!done && avcodec_receive_frame(c->dec, frame) == 0) {
+        if (frame_is_key(frame) && written < n_frames) process_frame(frame);
+        if (written >= n_frames) done = true;
+      }
+    }
+  }
+
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  if (crop_sws) sws_freeContext(crop_sws);
+  if (gray_sws) sws_freeContext(gray_sws);
+  close_ctx(c);
+  return written;
 }
 
 }  // extern "C"
