@@ -362,3 +362,166 @@ def test_extract_spread_covers_whole_clip(tmp_path):
         # spread samples reach the bright end of the clip; head-only doesn't
         assert float(spread[-1].mean()) > float(head[-1].mean()) + 40, detector
         assert float(spread[-1].mean()) > 150, detector
+
+
+# ---------------------------------------------------------------------------
+# in-decoder Haar face pipeline (native/videodec.cc:vd_sample_seek_faces_yuv)
+# ---------------------------------------------------------------------------
+
+
+def _require_cascade():
+    from deepfake_video_detection_tpu.data.haar import find_cascade_file
+    if find_cascade_file() is None:
+        pytest.skip("no Haar cascade XML installed")
+
+
+def _face_clip(tmp_path, name="face_fake.avi", H=240, W=320, s=110,
+               face_frames=None, n=36):
+    """Encode a clip with the synthetic Haar-detectable face (tests
+    test_haar.synth_face) moving slowly; ``face_frames`` restricts which
+    frames contain the face (None = all). Returns (path, boxes_by_frame)."""
+    from test_haar import synth_face
+
+    face = synth_face(s)
+    frames = np.full((n, H, W), 120.0, np.float32)
+    true_boxes = {}
+    for t in range(n):
+        if face_frames is not None and t not in face_frames:
+            continue
+        oy, ox = 30 + (t % 8), 60 + t  # slow drift
+        frames[t, oy:oy + s, ox:ox + s] = face
+        true_boxes[t] = (ox, oy, ox + s, oy + s)
+    rgb = np.repeat(frames[..., None], 3, -1).astype(np.uint8)
+    path = str(tmp_path / name)
+    encode_video(path, rgb, fps=12)
+    return path, true_boxes
+
+
+def _iou(a, b):
+    ix = max(0, min(a[2], b[2]) - max(a[0], b[0]))
+    iy = max(0, min(a[3], b[3]) - max(a[1], b[1]))
+    inter = ix * iy
+    ua = ((a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1])
+          - inter)
+    return inter / ua if ua else 0.0
+
+
+def test_native_haar_pipeline_detects_and_tracks(tmp_path):
+    """The in-decoder pipeline finds the moving synthetic face in every
+    sampled frame and its crops stay on the face (IoU against the known
+    position), with the first frame acquired and the rest tracked."""
+    _require_cascade()
+    from deepfake_video_detection_tpu.data.haar import get_default_cascade
+    from deepfake_video_detection_tpu.data.video import (
+        sample_video_faces_haar_yuv)
+
+    path, _ = _face_clip(tmp_path)
+    c = get_default_cascade()
+    packed, boxes, found = sample_video_faces_haar_yuv(
+        path, c, face_size=64, n_frames=6)
+    assert packed.shape == (6, 64 * 64 * 3 // 2)
+    assert found.all(), found
+    # the face occupies a known band of the frame; every margin-expanded
+    # crop must overlap it substantially (face side 110 in a 320x240 frame)
+    for b in boxes:
+        assert _iou(b, (55, 25, 210, 150)) > 0.3, boxes
+
+
+def test_native_haar_matches_python_detector(tmp_path):
+    """Native in-decoder detection agrees with the Python detect_faces path
+    (same cascade, same largest-face rule) on the decoded frame — the luma
+    plane vs RGB-gray divergence must not move the box materially."""
+    _require_cascade()
+    from deepfake_video_detection_tpu.data.haar import (
+        detect_faces, get_default_cascade)
+    from deepfake_video_detection_tpu.data.video import (
+        sample_video_faces_haar_yuv, sample_video_frames)
+
+    path, _ = _face_clip(tmp_path)
+    c = get_default_cascade()
+    _, boxes, found = sample_video_faces_haar_yuv(
+        path, c, face_size=64, n_frames=2, track=False, acquire=False,
+        margin=0.0)
+    assert found.all()
+    # the python path on a similar decoded frame (detection is per-frame
+    # deterministic; compare the first sampled frame's box)
+    frames = sample_video_frames(path, sample_rate=1, max_frames=20)
+    mid = frames[9]  # n=36, first seek midpoint = frame 3; nearby is fine
+    xyxy, _ = detect_faces(mid)
+    assert len(xyxy) > 0
+    assert _iou(boxes[0], xyxy[0]) > 0.5, (boxes[0], xyxy[0])
+
+
+def test_native_haar_no_face_falls_back_to_center(tmp_path):
+    """A clip with no face anywhere: found stays all-False and the crops
+    are BYTE-IDENTICAL to the center-prior YUV path (same crop math, same
+    swscale pipeline), so quality degrades to the documented prior, never
+    below."""
+    _require_cascade()
+    from deepfake_video_detection_tpu.data.haar import get_default_cascade
+    from deepfake_video_detection_tpu.data.video import (
+        sample_video_faces_haar_yuv, sample_video_faces_spread_yuv)
+
+    rgb = np.full((24, 240, 320, 3), 120, np.uint8)
+    path = str(tmp_path / "noface_real.avi")
+    encode_video(path, rgb, fps=12)
+    c = get_default_cascade()
+    packed, boxes, found = sample_video_faces_haar_yuv(
+        path, c, face_size=64, n_frames=4, margin=0.1)
+    assert not found.any()
+    center = sample_video_faces_spread_yuv(path, face_size=64, n_frames=4,
+                                           margin=0.1)
+    np.testing.assert_array_equal(packed, center)
+
+
+def test_extractor_haar_yuv_compacts_to_found_frames(tmp_path):
+    """FaceExtractor.extract_from_video_yuv with haar keeps the reference's
+    drop-undetected semantics: frames whose detection comes up empty are
+    dropped (compacted in place), while a clip with NO detection anywhere
+    returns center-prior crops for every frame."""
+    _require_cascade()
+    # face only in the first half of the clip -> later samples undetected
+    path, _ = _face_clip(tmp_path, face_frames=set(range(18)), n=36)
+    ex = FaceExtractor(detector="haar", face_size=64)
+    packed = ex.extract_from_video_yuv(path, max_frames=6)
+    assert 1 <= packed.shape[0] < 6, packed.shape
+    assert packed.shape[0] == int(ex.last_found.sum())
+
+    # no face at all -> all frames kept as center-prior crops
+    rgb = np.full((24, 240, 320, 3), 120, np.uint8)
+    noface = str(tmp_path / "noface2_real.avi")
+    encode_video(noface, rgb, fps=12)
+    packed2 = ex.extract_from_video_yuv(noface, max_frames=4)
+    assert packed2.shape[0] == 4
+    assert not ex.last_found.any()
+
+
+def test_predictor_yuv_fast_path_covers_haar(tmp_path, monkeypatch):
+    """serve/predict's packed-YUV fast path engages for FACE_DETECTOR=haar
+    (round-4: detection now runs in-decoder) — the predictor must produce a
+    verdict from the YUV branch, not the RGB slow path."""
+    _require_cascade()
+    import jax
+
+    from deepfake_video_detection_tpu.models.backbone_detector import (
+        BackboneDetector)
+    from deepfake_video_detection_tpu.serve.predict import Predictor
+
+    monkeypatch.setenv("SERVE_WARMUP", "0")
+    monkeypatch.setenv("MAX_FRAMES", "4")
+    path, _ = _face_clip(tmp_path)
+    model = BackboneDetector("resnet18", use_temporal_attention=False)
+    ex = FaceExtractor(detector="haar", face_size=224)
+    pred = Predictor(model, model.init(jax.random.PRNGKey(0)), "pretrained",
+                     extractor=ex)
+    called = {}
+    orig = ex.extract_from_video_yuv
+
+    def spy(*a, **kw):
+        called["yuv"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ex, "extract_from_video_yuv", spy)
+    r = pred.predict_video(path)
+    assert called.get("yuv"), "haar request bypassed the packed-YUV path"
+    assert "prediction" in r, r
