@@ -185,10 +185,13 @@ class Predictor:
             self._variables = jax.device_put(variables)
 
         # input-gradient saliency (serve/saliency.py) — built lazily on the
-        # first explain request: most deployments never pay its compile
+        # first explain request (or in warmup when SERVE_EXPLAIN_WARMUP=1):
+        # most deployments never pay its compile. One compiled program per
+        # fake-class index, so a runtime FAKE_CLASS_INDEX change explains
+        # the RIGHT class instead of the one frozen at first trace.
         import threading as _threading
 
-        self._saliency_fn = None
+        self._saliency_fns: Dict[int, Any] = {}
         self._saliency_lock = _threading.Lock()
 
         # startup warmup (default on): compile the serving forward at the
@@ -241,6 +244,14 @@ class Predictor:
                     frames = jnp.zeros((b, T, size, size, 3), jnp.uint8)
                     out = self._forward(self._variables, frames)
                 jax.block_until_ready(out[0])
+            if (env_bool("SERVE_EXPLAIN", True)
+                    and env_bool("SERVE_EXPLAIN_WARMUP", False)):
+                # pre-compile the saliency program at the serving shape so
+                # the first explain request doesn't pay its jit inline in
+                # an HTTP worker (minutes through a cold TPU relay). Off by
+                # default: it costs a full grad compile at startup that
+                # most deployments never use.
+                self.explain_faces(np.zeros((T, size, size, 3), np.uint8))
         except Exception:  # warmup must never take the server down
             pass
         finally:
@@ -265,7 +276,11 @@ class Predictor:
     def explain_faces(self, faces: np.ndarray) -> Optional[Dict[str, Any]]:
         """Per-frame spatial saliency for ``faces`` (T, H, W, 3) uint8 RGB —
         the additive ``saliency`` result key (``serve/saliency.py``). None
-        for model families outside the pretrained/temporal serving forward."""
+        for model families outside the pretrained/temporal serving forward.
+
+        ``FAKE_CLASS_INDEX`` is resolved on the host PER CALL and selects a
+        per-index compiled program, so a runtime env change switches the
+        explained class just like it switches the verdict path."""
         if self.model_type not in ("pretrained", "ensemble_pretrained",
                                    "temporal"):
             return None
@@ -274,10 +289,14 @@ class Predictor:
         from deepfake_video_detection_tpu.serve.saliency import (
             make_saliency_fn, saliency_payload)
 
+        n_classes = int(getattr(self.model, "num_classes", 2))
+        fake_idx = _get_fake_class_index(n_classes)
         with self._saliency_lock:
-            if self._saliency_fn is None:
-                self._saliency_fn = jax.jit(make_saliency_fn(self.model))
-        grids = self._saliency_fn(self._variables, np.asarray(faces)[None])
+            fn = self._saliency_fns.get(fake_idx)
+            if fn is None:
+                fn = self._saliency_fns[fake_idx] = jax.jit(
+                    make_saliency_fn(self.model, fake_idx=fake_idx))
+        grids = fn(self._variables, np.asarray(faces)[None])
         return saliency_payload(np.asarray(grids)[0])
 
     # ------------------------------------------------------------------
@@ -298,6 +317,12 @@ class Predictor:
 
     def _predict(self, video_path: str,
                  explain: bool = False) -> Dict[str, Any]:
+        # SERVE_EXPLAIN (default on) gates the explain surface: explain is
+        # reachable on the unauthenticated /api/predict and roughly doubles
+        # per-request FLOPs (plus a first-hit saliency compile), so an
+        # operator can switch it off without touching clients. Gating HERE
+        # also stops a disabled explain flag from forcing the RGB slow path.
+        explain = explain and env_bool("SERVE_EXPLAIN", True)
         if self.model_type in ("pretrained", "ensemble_pretrained", "temporal"):
             max_frames = max(1, min(64, env_int("MAX_FRAMES", 8)))
             # long-video scanning (beyond parity — the reference analyses one
@@ -485,6 +510,17 @@ class Predictor:
                 sal = self.explain_faces(
                     faces_w[widx] if windows > 1 else np.asarray(faces))
                 if sal is not None:
+                    if self.extractor.detector in ("center", "haar"):
+                        # the non-explain verdict for these detectors rides
+                        # the packed-YUV420 fast path; explain re-extracts
+                        # via RGB, whose chroma handling differs slightly —
+                        # near the threshold the two pipelines can score a
+                        # clip marginally differently (advisor r3)
+                        sal["pipeline_note"] = (
+                            "saliency explains the RGB extraction pipeline; "
+                            "non-explain verdicts use the packed-YUV420 "
+                            "path, which may differ marginally near the "
+                            "decision threshold")
                     base["saliency"] = sal
             except Exception:
                 logger.exception("saliency explain failed for %s", video_id)

@@ -27,7 +27,8 @@ from typing import Any, Tuple
 __all__ = ["make_saliency_fn", "saliency_payload"]
 
 
-def make_saliency_fn(model: Any, grid: Tuple[int, int] = (14, 14)):
+def make_saliency_fn(model: Any, grid: Tuple[int, int] = (14, 14),
+                     fake_idx: int = None):
     """Build a jittable ``(variables, frames_u8) -> (B, T, gh, gw)`` map.
 
     ``frames_u8``: uint8 RGB ``(B, T, H, W, 3)`` — the same input the
@@ -37,30 +38,59 @@ def make_saliency_fn(model: Any, grid: Tuple[int, int] = (14, 14)):
     ``EnsembleDetector``, ``TemporalTransformerDetector``): all expose
     ``apply(variables, x, train=False) -> ((logits, frame_scores), state)``.
 
+    ``fake_idx``: the class index to explain, resolved by the CALLER on the
+    host (``Predictor.explain_faces`` re-reads ``FAKE_CLASS_INDEX`` per
+    request and keeps one compiled program per index) — a ``None`` freezes
+    the env value at trace time, which a runtime env change would then not
+    follow.
+
+    Two model-family special cases:
+    * a ``voting`` ``EnsembleDetector``'s combined logits are
+      ``one_hot(argmax(...))`` whose input gradient is identically zero —
+      the map differentiates the MEAN of the member logits instead (the
+      quantity the votes are derived from), so the heat map shows what
+      moved the members rather than rendering blank;
+    * a model with ``use_flash`` uses the Pallas flash-attention kernel for
+      long clips, which defines no custom VJP — the saliency apply runs on
+      a shallow copy with ``use_flash=False`` (identical math through the
+      XLA softmax path, which IS differentiable).
+
     The effective grid never exceeds the input resolution; trailing pixels
     that don't divide evenly are cropped (for 224px and a 14x14 grid each
     cell is a 16x16 patch).
     """
+    import copy
+
     import jax
     import jax.numpy as jnp
 
     from deepfake_video_detection_tpu.data.normalize import imagenet_normalize
     from deepfake_video_detection_tpu.serve.predict import _get_fake_class_index
 
+    mean_members = getattr(model, "ensemble_method", None) == "voting"
+    if getattr(model, "use_flash", False):
+        model = copy.copy(model)
+        model.use_flash = False
+
     def saliency(variables, frames_u8):
         x = imagenet_normalize(frames_u8)
 
         def fake_logit_mass(x):
-            (logits, _), _ = model.apply(variables, x, train=False)
-            logits = logits.astype(jnp.float32)
+            if mean_members:
+                (_, _, member_logits), _ = model.apply(
+                    variables, x, train=False, return_member_logits=True)
+                logits = jnp.mean(member_logits.astype(jnp.float32), axis=0)
+            else:
+                (logits, _), _ = model.apply(variables, x, train=False)
+                logits = logits.astype(jnp.float32)
             c = logits.shape[-1]
-            fake_idx = _get_fake_class_index(c)
+            idx = _get_fake_class_index(c) if fake_idx is None else fake_idx
             if c == 2:
                 # class-contrastive: what pushes fake UP and real DOWN —
                 # cancels shared "this is a face" evidence
-                score = logits[:, fake_idx] - logits[:, 1 - fake_idx]
+                score = logits[:, idx] - logits[:, 1 - idx]
             else:
-                score = logits[:, fake_idx]
+                score = logits[:, idx]
             return jnp.sum(score)  # sum over batch: grads stay per-sample
 
         g = jax.grad(fake_logit_mass)(x)          # (B, T, H, W, 3)

@@ -122,27 +122,36 @@ int haar_scan(const float* gray, int H, int W,
       }
     }
 
-    // flat corner offsets are level-width dependent: rebuild per level
-    for (int t = 0; t < total_stumps; ++t) {
-      const int32_t* r = rects + (size_t)feat_idx[t] * 12;
-      const double* w = weights + (size_t)feat_idx[t] * 3;
-      Stump& s = stumps[t];
-      s.nrects = 0;
-      for (int j = 0; j < 3; ++j) {
-        if (w[j] == 0.0) continue;
-        int x = r[j * 4], y = r[j * 4 + 1], rw = r[j * 4 + 2],
-            rh = r[j * 4 + 3];
-        int k = s.nrects++;
-        s.off[k][0] = y * W1 + x;
-        s.off[k][1] = y * W1 + x + rw;
-        s.off[k][2] = (y + rh) * W1 + x;
-        s.off[k][3] = (y + rh) * W1 + x + rw;
-        s.w[k] = w[j];
+    // flat corner offsets are level-width dependent, so they must be
+    // rebuilt per level — but LAZILY, stage by stage, as the first window
+    // of the level reaches each stage: >95% of windows die in stages 0-2,
+    // so most levels never materialize offsets for the other ~2.8k stumps.
+    // (Rebuilding all of them cost ~350 KB of writes per level, which
+    // dominated small tracked-ROI scans.)
+    int built = 0;
+    auto build_to = [&](int end) {
+      for (int t = built; t < end; ++t) {
+        const int32_t* r = rects + (size_t)feat_idx[t] * 12;
+        const double* w = weights + (size_t)feat_idx[t] * 3;
+        Stump& s = stumps[t];
+        s.nrects = 0;
+        for (int j = 0; j < 3; ++j) {
+          if (w[j] == 0.0) continue;
+          int x = r[j * 4], y = r[j * 4 + 1], rw = r[j * 4 + 2],
+              rh = r[j * 4 + 3];
+          int k = s.nrects++;
+          s.off[k][0] = y * W1 + x;
+          s.off[k][1] = y * W1 + x + rw;
+          s.off[k][2] = (y + rh) * W1 + x;
+          s.off[k][3] = (y + rh) * W1 + x + rw;
+          s.w[k] = w[j];
+        }
+        s.thr = node_thr[t];
+        s.leaf0 = leaves[t * 2];
+        s.leaf1 = leaves[t * 2 + 1];
       }
-      s.thr = node_thr[t];
-      s.leaf0 = leaves[t * 2];
-      s.leaf1 = leaves[t * 2 + 1];
-    }
+      built = end;
+    };
 
     const uint64_t* iid = ii.data();
     const uint64_t* ii2d = ii2.data();
@@ -164,6 +173,7 @@ int haar_scan(const float* gray, int H, int W,
         for (int si = 0; si < n_stages && alive; ++si) {
           double acc = 0.0;
           const int end = stage_ends[si];
+          if (end > built) build_to(end);
           for (; t < end; ++t) {
             const Stump& s = stumps[t];
             double v = 0.0;
