@@ -167,7 +167,7 @@ def bench_train(batch: int = 16, t: int = 8, steps_per_call: int = 8,
     demonstrate the MXU-bound regime (docs/performance.md).
 
     MFU uses the standard model-analytic FLOP count (table above) against
-    the 394 TFLOP/s v5e bf16 peak; XLA's own cost analysis of the compiled
+    the 197 TFLOP/s v5e bf16 peak; XLA's own cost analysis of the compiled
     program is reported alongside for transparency. Prints ONE JSON line.
     """
     import functools
@@ -226,7 +226,11 @@ def bench_train(batch: int = 16, t: int = 8, steps_per_call: int = 8,
     steps_per_sec = n_calls * k / dt
     clips_per_sec = steps_per_sec * batch
     frames_per_sec = clips_per_sec * t
-    peak = 394e12                             # v5e bf16 peak FLOP/s
+    # v5e bf16 peak. NOT 394e12 — that is the chip's INT8 figure; rounds
+    # 1-3 divided by it and so UNDERSTATED every MFU by 2x. A pure-GEMM
+    # probe on this chip sustains 182 TFLOP/s bf16 = 92% of this peak
+    # (docs/performance.md "MFU accounting fix"), confirming 197e12.
+    peak = 197e12
     # standard (model-analytic) MFU: paper GMACs per 224px frame forward,
     # x2 FLOPs/MAC, x3 for fwd+bwd
     gmacs = _BACKBONE_GMACS.get(backbone)  # None for uncatalogued variants

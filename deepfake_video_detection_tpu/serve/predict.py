@@ -22,10 +22,15 @@ uint8; host code only applies thresholds to the tiny prob vector.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import logging
 import os
 from typing import Any, Dict, Optional
+
+# `with self._extract_sem or _NULL_CTX:` — no-op when admission control is
+# disabled (SERVE_EXTRACT_CONCURRENCY=0)
+_NULL_CTX = contextlib.nullcontext()
 
 import numpy as np
 
@@ -194,6 +199,20 @@ class Predictor:
         self._saliency_fns: Dict[int, Any] = {}
         self._saliency_lock = _threading.Lock()
 
+        # Admission control for the CPU-bound extraction stage (decode +
+        # face detection). Under heavy client concurrency every request
+        # thread used to run its own GIL-free extraction at once; on a
+        # small host they thrash instead of queueing — measured on the
+        # 1-core TPU host: 16 HTTP clients with the haar detector
+        # COLLAPSED aggregate throughput 4.4 → 1.4 clips/s with p95 18 s
+        # (docs/serving.md). Bounding in-flight extractions keeps the
+        # stage at its serial-optimal rate and turns the overload into
+        # orderly queueing. SERVE_EXTRACT_CONCURRENCY overrides (0 = off).
+        n_ex = env_int("SERVE_EXTRACT_CONCURRENCY",
+                       max(2, (os.cpu_count() or 1)))
+        self._extract_sem = (_threading.BoundedSemaphore(n_ex)
+                             if n_ex > 0 else None)
+
         # startup warmup (default on): compile the serving forward at the
         # configured shape in a background thread so the FIRST user request
         # doesn't pay the jit cost (minutes for a real backbone on a cold
@@ -341,8 +360,9 @@ class Predictor:
                 # YUV420 over the host→device link, RGB on device; for haar
                 # the detection itself runs in-decoder on the luma plane
                 # (data/faces.py extract_from_video_yuv)
-                packed = self.extractor.extract_from_video_yuv(
-                    video_path, max_frames=total)
+                with self._extract_sem or _NULL_CTX:
+                    packed = self.extractor.extract_from_video_yuv(
+                        video_path, max_frames=total)
                 if packed.shape[0] == 0:
                     return {"error": "No faces detected in video"}
                 n_extracted = int(packed.shape[0])
@@ -350,9 +370,9 @@ class Predictor:
                 return self._predict_pretrained(
                     packed, os.path.basename(video_path), packed_yuv=True,
                     windows=windows, n_extracted=n_extracted)
-            faces = self.extractor.extract_from_video(video_path,
-                                                      max_frames=total,
-                                                      spread=windows > 1)
+            with self._extract_sem or _NULL_CTX:
+                faces = self.extractor.extract_from_video(
+                    video_path, max_frames=total, spread=windows > 1)
             if faces.shape[0] == 0:
                 return {"error": "No faces detected in video"}
             n_extracted = int(faces.shape[0])
@@ -361,7 +381,8 @@ class Predictor:
                                             windows=windows,
                                             n_extracted=n_extracted,
                                             explain=explain)
-        faces = self.extractor.extract_from_video(video_path)
+        with self._extract_sem or _NULL_CTX:
+            faces = self.extractor.extract_from_video(video_path)
         if faces.shape[0] == 0:
             return {"error": "No faces detected in video"}
         return self._predict_legacy(faces)

@@ -77,12 +77,17 @@ def _post_clip(url: str, path: str, timeout: float = 300.0) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--levels", default="1,2,4,8",
+    ap.add_argument("--levels", default="1,2,4,8,16",
                     help="comma-separated client counts")
     ap.add_argument("--seconds", type=float, default=30.0,
                     help="measurement window per level")
     ap.add_argument("--batch_window_ms", default=None,
                     help="micro-batcher window override for the server")
+    ap.add_argument("--detector", default="center",
+                    choices=("center", "haar"),
+                    help="server-side FACE_DETECTOR: center = crop-prior "
+                         "roofline, haar = REAL in-decoder detection "
+                         "(VERDICT r3 item 5)")
     args = ap.parse_args()
 
     import bench  # repo-root bench.py: reuse the clip fleet fixture
@@ -97,7 +102,7 @@ def main() -> None:
     env.update({
         "PYTHONPATH": REPO + os.pathsep + env.get("PYTHONPATH", ""),
         "MODEL_PATH": ckpt,
-        "FACE_DETECTOR": "center",      # the documented max-throughput path
+        "FACE_DETECTOR": args.detector,
         "MIN_FACES": "1",
         "SERVE_MICROBATCH": "1",
     })
@@ -201,8 +206,10 @@ def main() -> None:
             "value": max(v for k, v in results.items()
                          if isinstance(v, (int, float))
                          and not k.endswith("_errors")),
-            "unit": "aggregate clips/s over HTTP /api/predict "
-                    "(stdlib WSGI + micro-batcher, center+YUV path)",
+            "unit": ("aggregate clips/s over HTTP /api/predict "
+                     f"(stdlib WSGI + micro-batcher, {args.detector}+YUV "
+                     f"path, {os.path.basename(os.path.dirname(clips[0]))} "
+                     "fleet)"),
             "levels": results,
         }))
     finally:
