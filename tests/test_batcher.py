@@ -200,3 +200,55 @@ def test_predictor_serving_dp_over_mesh(monkeypatch):
         for k in ("prob_real", "prob_fake", "confidence"):
             if w.get(k) is not None:
                 assert g[k] == pytest.approx(w[k], abs=1e-5), k
+
+
+def test_extraction_admission_control(monkeypatch, tmp_path):
+    """SERVE_EXTRACT_CONCURRENCY bounds in-flight extractions: with N
+    request threads hammering predict_video, the CPU-bound extraction
+    stage must never run more than the configured limit concurrently
+    (the r4 sweep measured a 16-client throughput COLLAPSE without this —
+    docs/serving.md)."""
+    import threading
+
+    import jax
+
+    from deepfake_video_detection_tpu.data.video import encode_video
+    from deepfake_video_detection_tpu.models.backbone_detector import (
+        BackboneDetector)
+    from deepfake_video_detection_tpu.serve.predict import Predictor
+
+    monkeypatch.setenv("SERVE_WARMUP", "0")
+    monkeypatch.setenv("SERVE_MICROBATCH", "0")
+    monkeypatch.setenv("MAX_FRAMES", "2")
+    monkeypatch.setenv("SERVE_EXTRACT_CONCURRENCY", "2")
+
+    vid = str(tmp_path / "clip_fake.avi")
+    encode_video(vid, np.full((8, 64, 64, 3), 128, np.uint8), fps=8)
+
+    model = BackboneDetector("resnet18", use_temporal_attention=False)
+    ex_state = {"live": 0, "peak": 0}
+    lock = threading.Lock()
+    pred = Predictor(model, model.init(jax.random.PRNGKey(0)), "pretrained")
+    orig = pred.extractor.extract_from_video_yuv
+
+    def instrumented(*a, **kw):
+        with lock:
+            ex_state["live"] += 1
+            ex_state["peak"] = max(ex_state["peak"], ex_state["live"])
+        try:
+            time.sleep(0.03)  # widen the race window
+            return orig(*a, **kw)
+        finally:
+            with lock:
+                ex_state["live"] -= 1
+
+    pred.extractor.extract_from_video_yuv = instrumented
+    with fut.ThreadPoolExecutor(8) as pool:
+        results = list(pool.map(lambda _: pred.predict_video(vid), range(16)))
+    assert all("prediction" in r or "error" in r for r in results)
+    assert ex_state["peak"] <= 2, ex_state
+
+    # knob off -> unbounded (no semaphore object at all)
+    monkeypatch.setenv("SERVE_EXTRACT_CONCURRENCY", "0")
+    pred2 = Predictor(model, model.init(jax.random.PRNGKey(0)), "pretrained")
+    assert pred2._extract_sem is None

@@ -525,3 +525,33 @@ def test_predictor_yuv_fast_path_covers_haar(tmp_path, monkeypatch):
     r = pred.predict_video(path)
     assert called.get("yuv"), "haar request bypassed the packed-YUV path"
     assert "prediction" in r, r
+
+
+def test_native_haar_small_face_uses_fullres_fallback(tmp_path):
+    """Coarse-to-fine acquisition implies a ~2x-window minimum face size;
+    a face BELOW that must still be found via the full-resolution fallback
+    scan that runs whenever the coarse pass comes up empty."""
+    _require_cascade()
+    from test_haar import synth_face
+
+    from deepfake_video_detection_tpu.data.haar import get_default_cascade
+    from deepfake_video_detection_tpu.data.video import (
+        sample_video_faces_haar_yuv)
+
+    # 640x360 frame, 60 px face -> at max_side=320 detection scale 2 the
+    # face is 30 det-px: the half-res acquisition pass (min window 24 at
+    # half res = 48 det-px) CANNOT see it; only the full-res scan can.
+    H, W, s = 360, 640, 60
+    face = synth_face(s)
+    frames = np.full((24, H, W), 120.0, np.float32)
+    for t in range(24):
+        frames[t, 100:100 + s, 300:300 + s] = face
+    rgb = np.repeat(frames[..., None], 3, -1).astype(np.uint8)
+    path = str(tmp_path / "smallface_fake.avi")
+    encode_video(path, rgb, fps=12)
+    c = get_default_cascade()
+    _, boxes, found = sample_video_faces_haar_yuv(
+        path, c, face_size=64, n_frames=4, margin=0.0)
+    assert found.all(), found
+    for b in boxes:
+        assert _iou(b, (300, 100, 300 + s, 100 + s)) > 0.3, boxes
