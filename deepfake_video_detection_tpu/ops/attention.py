@@ -81,7 +81,50 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     ``d`` should be ≤ 256 (whole head fits VMEM lanes); N is arbitrary
     (padded to 128 internally).
+
+    Differentiable: the Pallas kernel carries a ``custom_vjp`` whose
+    backward recomputes the attention in plain XLA and differentiates that
+    (exact softmax-attention gradients; the (N, N) matrix materialises in
+    the BACKWARD pass only, so training memory matches the plain path
+    while the forward keeps the flash memory profile). Round 3 shipped the
+    kernel without it, which made every long-clip (N ≥ 256) TRAINING step
+    on TPU fail at trace time — CPU tests never hit the TPU-gated branch.
+    A streaming Pallas backward kernel is the natural next optimization.
     """
+    return _flash(q, k, v, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash(q, k, v, interpret):
+    return _flash_impl(q, k, v, interpret)
+
+
+def _flash_fwd(q, k, v, interpret):
+    return _flash_impl(q, k, v, interpret), (q, k, v)
+
+
+def _flash_bwd(interpret, res, g):
+    q, k, v = res
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    s = jnp.einsum("bhnd,bhmd->bhnm", qf, kf) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("bhnm,bhnd->bhmd", p, gf)
+    dp = jnp.einsum("bhnd,bhmd->bhnm", gf, vf)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhnm,bhmd->bhnd", ds, kf) * scale
+    dk = jnp.einsum("bhnm,bhnd->bhmd", ds, qf) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def _flash_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                interpret: bool = False) -> jnp.ndarray:
     B, H, N, d = q.shape
     scale = 1.0 / math.sqrt(d)
     qf = _pad_to(q.reshape(B * H, N, d), 1, _BLOCK_Q)

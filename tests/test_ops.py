@@ -131,3 +131,36 @@ def test_ulysses_attention_rejects_indivisible_heads():
     q = jnp.zeros((2, 2, 64, 16), jnp.float32)  # H=2 not divisible by 4
     with pytest.raises(ValueError, match="divisible"):
         ulysses_attention(q, q, q, mesh)
+
+
+def test_flash_attention_grad_matches_reference():
+    """r4 regression: the Pallas flash kernel carries a custom_vjp (exact
+    softmax-attention gradients via XLA recompute) — round 3 shipped it
+    without one and every long-clip TRAINING step on TPU died at trace
+    time (`Linearization failed`), invisible to the CPU suite because the
+    flash branch is TPU-gated."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepfake_video_detection_tpu.ops.attention import flash_attention
+
+    B, H, N, d = 1, 2, 160, 32
+    rng = np.random.default_rng(7)
+    q, k, v = (jnp.asarray(rng.standard_normal((B, H, N, d)), jnp.float32)
+               for _ in range(3))
+
+    def ref(q, k, v):
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k) / jnp.sqrt(1.0 * d)
+        return jnp.einsum("bhnm,bhmd->bhnd", jax.nn.softmax(s, -1), v)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(ref(q, k, v) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
