@@ -236,9 +236,17 @@ class TemporalTransformerDetector:
         params["head"] = _lin_init(kh, self.num_classes, D)
         return {"params": params, "state": {"backbone": bvars["state"]}}
 
-    def _attention(self, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    def _attention(self, p: Params, x: jnp.ndarray,
+                   train: bool = False) -> jnp.ndarray:
         """Self-attention over frames via the flash kernel when on TPU and
-        the sequence is long enough to benefit; XLA softmax path otherwise."""
+        the sequence is long enough to benefit; XLA softmax path otherwise.
+
+        The flash threshold is MODE-DEPENDENT (measured on hardware, r4):
+        in inference the kernel wins from N >= 256 (no (N,N) matrix ever
+        materialises); in training its custom_vjp backward recomputes the
+        attention in XLA anyway, so below N=1024 the plain XLA path is
+        equal-or-faster (7.5 vs 10.5 ms/step at N=256) and flash only
+        engages for genuinely long clips."""
         B, N, D = x.shape
         nh = self.num_heads
         hd = D // nh
@@ -262,7 +270,7 @@ class TemporalTransformerDetector:
                   and self.batch_axis in self.mesh.shape else None)
             out = sp_attention(q, k, v, self.mesh,
                                seq_axis=self.seq_axis, batch_axis=ba)
-        elif self.use_flash and on_tpu and N >= 256:
+        elif self.use_flash and on_tpu and N >= (1024 if train else 256):
             from deepfake_video_detection_tpu.ops.attention import flash_attention
             out = flash_attention(q, k, v)
         else:
@@ -314,7 +322,7 @@ class TemporalTransformerDetector:
 
             def blk(bp, xm):
                 xm = xm + self._attention(
-                    bp["attn"], L.layer_norm(bp["norm1"], xm))
+                    bp["attn"], L.layer_norm(bp["norm1"], xm), train=train)
                 hm = L.layer_norm(bp["norm2"], xm)
                 hm = jax.nn.gelu(L.linear(bp["mlp"]["fc1"], hm),
                                  approximate=False)
@@ -331,7 +339,8 @@ class TemporalTransformerDetector:
             for i in range(self.depth):
                 bp = p["blocks"][str(i)]
                 y = y + self._attention(bp["attn"],
-                                        L.layer_norm(bp["norm1"], y))
+                                        L.layer_norm(bp["norm1"], y),
+                                        train=train)
                 h = L.layer_norm(bp["norm2"], y)
                 if self.moe is not None:
                     flat = h.reshape(-1, D)
