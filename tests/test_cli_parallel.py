@@ -63,6 +63,7 @@ BASE = ["--epochs", "2", "--batch_size", "8", "--num_frames", "8",
         "--no-augment", "--lr", "1e-3"]
 
 
+@pytest.mark.slow
 def test_cli_dp_tp_pretrained(npz_dir, tmp_path):
     """--mesh data=4,model=2: DP x TP on the flagship BackboneDetector."""
     out = str(tmp_path / "tp")
@@ -72,6 +73,7 @@ def test_cli_dp_tp_pretrained(npz_dir, tmp_path):
     _assert_trained(out)
 
 
+@pytest.mark.slow
 def test_cli_sp_ring_temporal(npz_dir, tmp_path):
     out = str(tmp_path / "ring")
     rc = cli.main(["--data_dir", npz_dir, "--model", "temporal",
@@ -81,6 +83,7 @@ def test_cli_sp_ring_temporal(npz_dir, tmp_path):
     _assert_trained(out)
 
 
+@pytest.mark.slow
 def test_cli_sp_ulysses_temporal(npz_dir, tmp_path):
     out = str(tmp_path / "ulysses")
     rc = cli.main(["--data_dir", npz_dir, "--model", "temporal",
@@ -90,6 +93,7 @@ def test_cli_sp_ulysses_temporal(npz_dir, tmp_path):
     _assert_trained(out)
 
 
+@pytest.mark.slow
 def test_cli_pp_temporal(npz_dir, tmp_path):
     out = str(tmp_path / "pp")
     rc = cli.main(["--data_dir", npz_dir, "--model", "temporal",
@@ -100,6 +104,7 @@ def test_cli_pp_temporal(npz_dir, tmp_path):
     _assert_trained(out)
 
 
+@pytest.mark.slow
 def test_cli_ep_moe_temporal(npz_dir, tmp_path):
     out = str(tmp_path / "ep")
     rc = cli.main(["--data_dir", npz_dir, "--model", "temporal",
@@ -121,6 +126,7 @@ def test_cli_ep_moe_temporal(npz_dir, tmp_path):
     assert np.all(np.isfinite(np.asarray(logits)))
 
 
+@pytest.mark.slow
 def test_cli_bf16_pretrained(npz_dir, tmp_path):
     """--bf16 (bfloat16 activations, f32 params) trains finitely through
     the default DP path and the checkpoint stays f32 + servable."""
@@ -143,6 +149,7 @@ def test_cli_explicit_dp_mesh(npz_dir, tmp_path):
     _assert_trained(out)
 
 
+@pytest.mark.slow
 def test_cli_parallel_checkpoint_resumes(npz_dir, tmp_path):
     """TP-trained checkpoint warm-starts a fresh TP run (placement rules
     re-applied on load, Trainer._place)."""
@@ -160,6 +167,7 @@ def test_cli_parallel_checkpoint_resumes(npz_dir, tmp_path):
     _assert_trained(out2, epochs=1)
 
 
+@pytest.mark.slow
 def test_three_axis_composition():
     """Mirror of dryrun_multichip phase 5: dp x sp(ring) x ep(moe) composed
     on one 3-axis mesh in ONE train-step program (VERDICT r2 item 6)."""
@@ -246,6 +254,7 @@ def test_tp_rules_match_dryrun():
     assert strategy.pp_param_pspec("head.weight") == P()
 
 
+@pytest.mark.slow
 def test_cli_progressive_finetune(npz_dir, tmp_path):
     """--progressive: the 3-stage schedule (head-only → last-2-blocks →
     full, ≙ ProgressiveFineTuner src/pretrained_detector.py:221-274) drives

@@ -205,6 +205,7 @@ def test_fsdp_step_matches_single_device():
 
 # ---------------------------------------------------------------- CLI e2e
 
+@pytest.mark.slow
 def test_cli_fsdp_pretrained(tmp_path):
     """--fsdp end-to-end through the basic CLI on the flagship detector:
     2 epochs of finite losses and a loadable, servable checkpoint whose big
@@ -302,6 +303,7 @@ def test_fsdp_scan_of_steps_matches_sequential():
     assert s8.params["proj"]["weight"].sharding.spec == P("data")
 
 
+@pytest.mark.slow
 def test_cli_fsdp_scan_of_steps(tmp_path):
     """--fsdp --steps_per_call 2 end-to-end through the basic CLI."""
     from deepfake_video_detection_tpu.checkpoint.store import load_checkpoint

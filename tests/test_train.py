@@ -253,6 +253,7 @@ def test_tp_matches_dp_and_single_device(npz_dir):
     np.testing.assert_allclose(proj_tp, proj_1, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_flagship_b0_through_trainer_and_serve_loader(npz_dir, tmp_path):
     """The REAL flagship (EfficientNet-B0 BackboneDetector) through the full
     Trainer on the 8-device mesh, then its .pt export back through the
