@@ -128,15 +128,49 @@ def _save_npz(out_dir: str, name: str, faces: np.ndarray, label: int) -> str:
     return out
 
 
+def _packed_yuv_to_rgb_u8(packed: np.ndarray, size: int) -> np.ndarray:
+    """(N, size²·3/2) packed YUV420 → (N, size, size, 3) uint8 RGB on the
+    HOST (same BT.601 limited-range matrix as ``ops/yuv.py``). Prep is an
+    offline batch job writing uint8 npz files — a device round-trip would
+    just drag the pixels across the TPU link twice (measured 249 vs
+    ~60 ms/clip through the relay); serving keeps the on-device converter
+    where the pixels are headed to the chip anyway."""
+    hw, qw = size * size, (size // 2) * (size // 2)
+    y = packed[:, :hw].reshape(-1, size, size).astype(np.float32)
+    u = packed[:, hw:hw + qw].reshape(-1, size // 2, size // 2)
+    v = packed[:, hw + qw:].reshape(-1, size // 2, size // 2)
+    u = np.repeat(np.repeat(u, 2, axis=1), 2, axis=2).astype(np.float32) - 128.0
+    v = np.repeat(np.repeat(v, 2, axis=1), 2, axis=2).astype(np.float32) - 128.0
+    c = 1.164383 * (y - 16.0)  # same BT.601 constants as ops/yuv.py
+    rgb = np.stack([c + 1.596027 * v,
+                    c - 0.391762 * u - 0.812968 * v,
+                    c + 2.017232 * u], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def prepare_video(path: str, out_dir: str, extractor: FaceExtractor,
                   labels: Optional[Dict[str, int]], sample_rate: int,
-                  max_frames: int) -> Optional[str]:
+                  max_frames: int, seek_sampling: bool = True) -> Optional[str]:
     label = resolve_label(path, labels)
     if label is None:
         return None
-    frames = sample_video_frames(path, sample_rate=sample_rate,
-                                 max_frames=max_frames)
-    faces = extractor.extract_from_frames(frames)
+    if extractor.detector == "haar" and seek_sampling:
+        # fast path (r4): seek-decode + luma-plane detection + face crop in
+        # ONE GIL-free C++ call (data/faces.py extract_from_video_yuv), RGB
+        # conversion on device — ~10-20x the decode-everything RGB route.
+        # Sampling semantics: exactly max_frames keyframes evenly SPREAD
+        # over the whole clip (the serving sampler), not every
+        # sample_rate-th of the first frames — whole-clip coverage is the
+        # better training distribution; --no-seek-sampling restores the
+        # reference's scan semantics (src/data_prepare.py:261-285).
+        packed = extractor.extract_from_video_yuv(path, max_frames=max_frames)
+        if packed.shape[0] == 0:
+            return None
+        faces = _packed_yuv_to_rgb_u8(packed, extractor.face_size)
+    else:
+        frames = sample_video_frames(path, sample_rate=sample_rate,
+                                     max_frames=max_frames)
+        faces = extractor.extract_from_frames(frames)
     if faces.shape[0] == 0:
         return None
     stem = os.path.splitext(os.path.basename(path))[0]
@@ -194,6 +228,11 @@ def main(argv=None) -> int:
                     help="auto|mtcnn|haar|center|none (default: auto — "
                          "mtcnn if MTCNN_WEIGHTS else haar else center)")
     ap.add_argument("--workers", type=int, default=os.cpu_count() or 4)
+    ap.add_argument("--no-seek-sampling", dest="seek_sampling",
+                    action="store_false",
+                    help="haar raw-video prep: scan every sample_rate-th "
+                         "frame (reference semantics) instead of the "
+                         "default in-decoder seek-spread fast path")
     args = ap.parse_args(argv)
 
     root = args.data_dir
@@ -223,7 +262,7 @@ def main(argv=None) -> int:
         with _fut.ThreadPoolExecutor(args.workers) as pool:
             futs = [(v, pool.submit(prepare_video, v, args.out_dir, ext,
                                     labels, args.sample_rate,
-                                    args.max_frames))
+                                    args.max_frames, args.seek_sampling))
                     for v in videos]
             for v, f in futs:
                 # a corrupt/undecodable clip must not abort a whole prep run

@@ -329,3 +329,33 @@ def test_prepare_cli_accepts_haar(tmp_path):
     data = np.load(files[0])
     assert data["faces"].shape[1:] == (64, 64, 3)
     assert data["faces"].mean() > 140     # the face crop, not background
+
+
+def test_prepare_cli_haar_seek_fast_path_and_scan_fallback(tmp_path):
+    """r4: raw-video haar prep defaults to the in-decoder seek-spread fast
+    path (one GIL-free C++ call + device YUV→RGB); --no-seek-sampling
+    restores the reference's every-Nth-frame scan. Both must produce
+    on-face crops of the right shape."""
+    _require_cascade()
+    from deepfake_video_detection_tpu.data.video import encode_video
+    from deepfake_video_detection_tpu.data import prepare
+
+    img = scene_with_face(H=240, W=320, oy=20, ox=190, s=100)
+    rgb = np.stack([img] * 3, -1).astype(np.uint8)
+    frames = np.stack([rgb] * 16)
+    vdir = tmp_path / "videos"
+    vdir.mkdir()
+    encode_video(str(vdir / "fake_clip.avi"), frames, fps=12)
+
+    for extra, sub in ([], "fast"), (["--no-seek-sampling"], "scan"):
+        out = tmp_path / f"out_{sub}"
+        prepare.main(["--data_dir", str(vdir), "--out_dir", str(out),
+                      "--detector", "haar", "--size", "64",
+                      "--max_frames", "4"] + extra)
+        files = list(out.rglob("*.npz"))
+        assert len(files) == 1, sub
+        faces = np.load(files[0])["faces"]
+        assert faces.shape[1:] == (64, 64, 3), sub
+        assert 1 <= faces.shape[0] <= 4, sub
+        # crops sit ON the bright synthetic face, not the flat background
+        assert float(faces.mean()) > 135, (sub, float(faces.mean()))
