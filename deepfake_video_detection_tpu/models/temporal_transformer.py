@@ -242,11 +242,13 @@ class TemporalTransformerDetector:
         the sequence is long enough to benefit; XLA softmax path otherwise.
 
         The flash threshold is MODE-DEPENDENT (measured on hardware, r4):
-        in inference the kernel wins from N >= 256 (no (N,N) matrix ever
-        materialises); in training its custom_vjp backward recomputes the
-        attention in XLA anyway, so below N=1024 the plain XLA path is
-        equal-or-faster (7.5 vs 10.5 ms/step at N=256) and flash only
-        engages for genuinely long clips."""
+        in inference the kernel engages from N >= 256 (no (N,N) matrix
+        ever materialises); in training — even with the streaming Pallas
+        backward — XLA's fused attention is ~1.4x faster wall-clock up to
+        N=4096 (1.4/3.3/9.2 vs 2.0/4.2/12.8 ms fwd+bwd at N=1024/2048/
+        4096, B*H=16 d=64 bf16), so flash engages at N >= 4096 where the
+        XLA backward's (B,H,N,N) f32 score materialisation (>= 1 GB/layer)
+        starts to threaten HBM and the O(N) memory profile is the point."""
         B, N, D = x.shape
         nh = self.num_heads
         hd = D // nh
@@ -270,7 +272,7 @@ class TemporalTransformerDetector:
                   and self.batch_axis in self.mesh.shape else None)
             out = sp_attention(q, k, v, self.mesh,
                                seq_axis=self.seq_axis, batch_axis=ba)
-        elif self.use_flash and on_tpu and N >= (1024 if train else 256):
+        elif self.use_flash and on_tpu and N >= (4096 if train else 256):
             from deepfake_video_detection_tpu.ops.attention import flash_attention
             out = flash_attention(q, k, v)
         else:
