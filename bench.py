@@ -369,8 +369,16 @@ def main() -> None:
                 slot[n:] = slot[n - 1] if n else 0
         return decode_into
 
-    decode_into = make_decode_into(FaceExtractor(detector=DETECTOR,
-                                                 face_size=FACE))
+    extractor = FaceExtractor(detector=DETECTOR, face_size=FACE)
+    if extractor.detector != DETECTOR:
+        # FaceExtractor degrades haar -> center when no cascade XML is
+        # installed; recording a center-prior number under a "haar" label
+        # would be exactly the dishonesty this bench exists to avoid
+        raise SystemExit(
+            f"BENCH_DETECTOR={DETECTOR} resolved to "
+            f"{extractor.detector!r} (no cascade XML?) — refusing to "
+            f"record a mislabeled number")
+    decode_into = make_decode_into(extractor)
 
     # warm everything: decoder .so build, crop/resize jit, model compile
     warm = np.empty((T, frame_bytes), np.uint8)
@@ -484,8 +492,10 @@ def main() -> None:
         # recorded artifact always carries the detection-on number next to
         # the crop-prior headline.
         try:
-            decode_into = make_decode_into(
-                FaceExtractor(detector="haar", face_size=FACE))
+            hext = FaceExtractor(detector="haar", face_size=FACE)
+            if hext.detector != "haar":
+                raise RuntimeError("no haar cascade XML installed")
+            decode_into = make_decode_into(hext)
             decode_into(paths[0], warm)          # build/branch warm-up
             dth = min(run_once() for _ in range(3))
             result["haar_e2e_clips_per_sec"] = round(len(paths) / dth, 2)

@@ -386,6 +386,13 @@ class FaceExtractor:
         if self.detector not in ("center", "haar"):
             raise ValueError("YUV fast path requires detector 'center' or "
                              f"'haar' (got {self.detector!r})")
+        if self.detector == "haar" and self.keep_all:
+            # the in-decoder pipeline is single-face (largest) by design;
+            # silently narrowing KEEP_ALL_FACES=1 to one face would score
+            # the wrong face on multi-person clips — callers must use the
+            # RGB path (extract_from_video), which crops every detection
+            raise ValueError("YUV fast path with haar is largest-face only; "
+                             "KEEP_ALL_FACES requires the RGB path")
         if max_frames is None:
             max_frames = max(1, min(_env_int("MAX_FRAMES", 8), 64))
         if self.detector == "haar":
@@ -409,14 +416,17 @@ class FaceExtractor:
                 min_neighbors=_env_int("HAAR_MIN_NEIGHBORS", 4),
                 track=track, track_expand=max(1.2, expand),
                 acquire=_env_int("HAAR_ACQUIRE", 1) != 0, out=out)
-            self.last_boxes, self.last_found = boxes, found
+            self.last_found = found
             if found.any() and not found.all():
                 # reference drop-undetected semantics (app.py:1988-2025),
                 # compacted in place so a caller-provided batch slot stays
-                # dense
+                # dense; last_boxes is compacted identically so row i of
+                # the RETURNED array always pairs with last_boxes[i]
                 k = int(found.sum())
                 packed[:k] = packed[found]
+                self.last_boxes = boxes[found]
                 return packed[:k]
+            self.last_boxes = boxes
             return packed
         from deepfake_video_detection_tpu.data.video import (
             sample_video_faces_spread_yuv)

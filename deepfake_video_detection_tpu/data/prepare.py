@@ -154,7 +154,7 @@ def prepare_video(path: str, out_dir: str, extractor: FaceExtractor,
     label = resolve_label(path, labels)
     if label is None:
         return None
-    if extractor.detector == "haar" and seek_sampling:
+    if extractor.detector == "haar" and seek_sampling and not extractor.keep_all:
         # fast path (r4): seek-decode + luma-plane detection + face crop in
         # ONE GIL-free C++ call (data/faces.py extract_from_video_yuv), RGB
         # conversion on device — ~10-20x the decode-everything RGB route.

@@ -138,8 +138,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, dk_ref,
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale   # (BQ, BK)
         s = jnp.where(key_ids[None, :] < n_valid, s, _NEG_INF)
-        # padded QUERY rows carry lse = -inf → exp(s - lse) would blow up;
-        # their dO is zero-padded but P itself must be zeroed too
+        # padded QUERY rows: _pad_to ZERO-pads lse, so exp(s - 0) is a
+        # finite all-ones-ish P row — dV stays correct (dO is zero-padded)
+        # but dS = P*(dP - D) would silently corrupt dK; zero P explicitly
         q_ids = qb * _BLOCK_Q + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, 0)
         p = jnp.where(q_ids < n_valid, jnp.exp(s - lse), 0.0)  # (BQ, BK)

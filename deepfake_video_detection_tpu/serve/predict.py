@@ -240,6 +240,7 @@ class Predictor:
             size = self.extractor.face_size
             n_dp = getattr(self, "_n_dp", 1)
             yuv = (self.extractor.detector in ("center", "haar")
+                   and not self.extractor.keep_all
                    and env_bool("SERVE_YUV_TRANSFER", True))
             # the windowed-scan path (SERVE_WINDOWS>1) runs its own
             # (w_pad, T) batch shape — pre-compile it too so the first
@@ -353,7 +354,10 @@ class Predictor:
             windows = max(1, min(64, env_int("SERVE_WINDOWS", 1)))
             total = max_frames * windows
             if (self.extractor.detector in ("center", "haar") and not explain
+                    and not self.extractor.keep_all
                     and env_bool("SERVE_YUV_TRANSFER", True)):
+                # (KEEP_ALL_FACES stays on the RGB path: the in-decoder
+                # haar pipeline is largest-face only)
                 # (explain requests take the RGB path below: saliency
                 # differentiates the RGB serving forward)
                 # production fast path (what bench.py measures): packed

@@ -44,23 +44,19 @@ def make_saliency_fn(model: Any, grid: Tuple[int, int] = (14, 14),
     the env value at trace time, which a runtime env change would then not
     follow.
 
-    Two model-family special cases:
-    * a ``voting`` ``EnsembleDetector``'s combined logits are
-      ``one_hot(argmax(...))`` whose input gradient is identically zero —
-      the map differentiates the MEAN of the member logits instead (the
-      quantity the votes are derived from), so the heat map shows what
-      moved the members rather than rendering blank;
-    * a model with ``use_flash`` uses the Pallas flash-attention kernel for
-      long clips, which defines no custom VJP — the saliency apply runs on
-      a shallow copy with ``use_flash=False`` (identical math through the
-      XLA softmax path, which IS differentiable).
+    One model-family special case: a ``voting`` ``EnsembleDetector``'s
+    combined logits are ``one_hot(argmax(...))`` whose input gradient is
+    identically zero — the map differentiates the MEAN of the member
+    logits instead (the quantity the votes are derived from), so the heat
+    map shows what moved the members rather than rendering blank. (Models
+    on the Pallas flash-attention path need no special-casing since r4:
+    the kernel carries a streaming custom VJP, so ``jax.grad`` goes
+    through the SAME attention the serving forward used.)
 
     The effective grid never exceeds the input resolution; trailing pixels
     that don't divide evenly are cropped (for 224px and a 14x14 grid each
     cell is a 16x16 patch).
     """
-    import copy
-
     import jax
     import jax.numpy as jnp
 
@@ -68,9 +64,6 @@ def make_saliency_fn(model: Any, grid: Tuple[int, int] = (14, 14),
     from deepfake_video_detection_tpu.serve.predict import _get_fake_class_index
 
     mean_members = getattr(model, "ensemble_method", None) == "voting"
-    if getattr(model, "use_flash", False):
-        model = copy.copy(model)
-        model.use_flash = False
 
     def saliency(variables, frames_u8):
         x = imagenet_normalize(frames_u8)

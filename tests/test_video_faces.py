@@ -555,3 +555,39 @@ def test_native_haar_small_face_uses_fullres_fallback(tmp_path):
     assert found.all(), found
     for b in boxes:
         assert _iou(b, (300, 100, 300 + s, 100 + s)) > 0.3, boxes
+
+
+def test_haar_yuv_fast_path_rejects_keep_all(tmp_path, monkeypatch):
+    """KEEP_ALL_FACES must NOT silently narrow to largest-face: the haar
+    YUV fast path refuses keep_all, and the predictor routes such
+    configurations through the RGB path (review r4)."""
+    _require_cascade()
+    import jax
+
+    from deepfake_video_detection_tpu.models.backbone_detector import (
+        BackboneDetector)
+    from deepfake_video_detection_tpu.serve.predict import Predictor
+
+    path, _ = _face_clip(tmp_path)
+    ex = FaceExtractor(detector="haar", face_size=64, keep_all=True)
+    with pytest.raises(ValueError, match="largest-face"):
+        ex.extract_from_video_yuv(path, max_frames=2)
+
+    monkeypatch.setenv("SERVE_WARMUP", "0")
+    monkeypatch.setenv("MAX_FRAMES", "2")
+    model = BackboneDetector("resnet18", use_temporal_attention=False)
+    ex224 = FaceExtractor(detector="haar", face_size=224, keep_all=True)
+    pred = Predictor(model, model.init(jax.random.PRNGKey(0)), "pretrained",
+                     extractor=ex224)
+    r = pred.predict_video(path)   # must not raise: RGB path handles it
+    assert "prediction" in r or "error" in r, r
+
+
+def test_haar_yuv_last_boxes_align_with_compacted_rows(tmp_path):
+    """When undetected frames are dropped, last_boxes is compacted
+    identically — returned row i always pairs with last_boxes[i]."""
+    _require_cascade()
+    path, _ = _face_clip(tmp_path, face_frames=set(range(18)), n=36)
+    ex = FaceExtractor(detector="haar", face_size=64)
+    packed = ex.extract_from_video_yuv(path, max_frames=6)
+    assert packed.shape[0] == ex.last_boxes.shape[0] == int(ex.last_found.sum())
