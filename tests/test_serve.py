@@ -665,3 +665,52 @@ def test_multipart_preserves_trailing_newline_bytes():
     field, fname, got = files[0]
     assert (field, fname) == ("video", "clip.mp4")
     assert got == content, (got, content)
+
+
+def test_predict_windows_with_haar_fast_path(monkeypatch, tmp_path):
+    """SERVE_WINDOWS>1 composed with FACE_DETECTOR=haar: the windowed scan
+    must ride the in-decoder packed-YUV pipeline (W*T frames seek-spread
+    over the clip, detection on the luma plane) and produce a per-window
+    breakdown from a real video file."""
+    import sys
+
+    import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_haar import find_cascade_file, scene_with_face
+
+    from deepfake_video_detection_tpu.data.video import encode_video
+    from deepfake_video_detection_tpu.models.backbone_detector import (
+        BackboneDetector)
+    from deepfake_video_detection_tpu.serve.predict import Predictor
+
+    if find_cascade_file() is None:
+        pytest.skip("no Haar cascade XML installed")
+    monkeypatch.setenv("SERVE_WARMUP", "0")
+    monkeypatch.setenv("MAX_FRAMES", "2")
+    monkeypatch.setenv("SERVE_WINDOWS", "3")
+    monkeypatch.setenv("MIN_FACES", "1")
+
+    img = scene_with_face(H=240, W=320, oy=30, ox=150, s=100)
+    rgb = np.repeat(img[..., None], 3, -1).astype(np.uint8)
+    vid = str(tmp_path / "long_fake.avi")
+    encode_video(vid, np.stack([rgb] * 36), fps=12)
+
+    model = BackboneDetector("resnet18", use_temporal_attention=False)
+    ex = FaceExtractor(detector="haar", face_size=224)
+    called = {}
+    orig = ex.extract_from_video_yuv
+
+    def spy(*a, **kw):
+        called["max_frames"] = kw.get("max_frames") or (a[1] if len(a) > 1
+                                                        else None)
+        return orig(*a, **kw)
+
+    ex.extract_from_video_yuv = spy
+    pred = Predictor(model, model.init(jax.random.PRNGKey(0)), "pretrained",
+                     extractor=ex)
+    r = pred.predict_video(vid)
+    assert called.get("max_frames") == 6, called   # W*T frames, one call
+    assert r.get("windows", {}).get("count") == 3, r.get("windows")
+    assert len(r["windows"]["prob_fake"]) == 3
+    assert "prediction" in r, r
