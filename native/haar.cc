@@ -7,17 +7,32 @@
 // normrect, and sum-of-stumps stages with early rejection. Rectangle
 // grouping (the cheap part) stays in Python (data/haar.py).
 //
-// The scan is scalar-per-window with per-stage early exit — the win over
-// the vectorized numpy engine is exactly that exit: >95% of windows die in
-// the first two stages, and here they cost ~20 feature lookups instead of
-// a full-stage broadcast.
+// Two scan engines share the stage/stump data:
+//  * scalar-per-window with per-stage early exit — >95% of windows die in
+//    the first two stages at ~20 feature lookups each;
+//  * AVX-512 8-window groups (r5): windows in a row sit at x stride 2, so
+//    each integral-image corner for 8 adjacent windows is an even-lane
+//    extraction from 16 consecutive uint64 (2 loads + 1 vpermt2q — no
+//    gathers), evaluated as 8 double lanes with a group-alive mask and
+//    group-level early exit. Every FP op (mul-then-add, no FMA; IEEE
+//    sqrt/div) matches the scalar engine's sequence, so the two engines
+//    are bit-identical window-for-window (cross-checked in test_haar.py
+//    alongside the numpy engine). HAAR_SIMD=0 forces the scalar path.
 //
 // Build: g++ -O3 -fPIC -shared -std=c++17 -o build/libhaar.so haar.cc
+// (the AVX-512 body carries a target attribute + cpuid dispatch, so the
+// baseline build stays runnable on any x86-64.)
 
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
+
+#if defined(__x86_64__) || defined(_M_X64)
+#include <immintrin.h>
+#define HAAR_HAVE_AVX512_BUILD 1
+#endif
 
 namespace {
 
@@ -52,6 +67,146 @@ struct Stump {
   double thr;
   double leaf0, leaf1;
 };
+
+// Lazy per-level stump-offset builder (flat corner offsets depend on the
+// level width). Built stage by stage as the first window of the level
+// reaches each stage: >95% of windows die in stages 0-2, so most levels
+// never materialize offsets for the other ~2.8k stumps.
+struct StumpBuilder {
+  std::vector<Stump>& stumps;
+  const int32_t* rects;
+  const double* weights;
+  const int32_t* feat_idx;
+  const double* node_thr;
+  const double* leaves;
+  int W1;
+  int built = 0;
+
+  void build_to(int end) {
+    for (int t = built; t < end; ++t) {
+      const int32_t* r = rects + (size_t)feat_idx[t] * 12;
+      const double* w = weights + (size_t)feat_idx[t] * 3;
+      Stump& s = stumps[t];
+      s.nrects = 0;
+      for (int j = 0; j < 3; ++j) {
+        if (w[j] == 0.0) continue;
+        int x = r[j * 4], y = r[j * 4 + 1], rw = r[j * 4 + 2],
+            rh = r[j * 4 + 3];
+        int k = s.nrects++;
+        s.off[k][0] = y * W1 + x;
+        s.off[k][1] = y * W1 + x + rw;
+        s.off[k][2] = (y + rh) * W1 + x;
+        s.off[k][3] = (y + rh) * W1 + x + rw;
+        s.w[k] = w[j];
+      }
+      s.thr = node_thr[t];
+      s.leaf0 = leaves[t * 2];
+      s.leaf1 = leaves[t * 2 + 1];
+    }
+    built = end;
+  }
+};
+
+#ifdef HAAR_HAVE_AVX512_BUILD
+
+// 8 even-index uint64 starting at p: lanes p[0], p[2], ..., p[14] — the 8
+// adjacent windows' values for one integral-image corner (x stride 2).
+__attribute__((target("avx512f,avx512dq"))) static inline __m512i
+load_even8(const uint64_t* p) {
+  const __m512i idx = _mm512_setr_epi64(0, 2, 4, 6, 8, 10, 12, 14);
+  __m512i a = _mm512_loadu_si512((const void*)p);
+  __m512i b = _mm512_loadu_si512((const void*)(p + 8));
+  return _mm512_permutex2var_epi64(a, idx, b);
+}
+
+// rect sum for 8 windows: br - tr - bl + tl in exact uint64 arithmetic
+// (matches the scalar engine), converted to double once at the end.
+__attribute__((target("avx512f,avx512dq"))) static inline __m512d
+rect_sum8(const uint64_t* base, const int off[4]) {
+  __m512i tl = load_even8(base + off[0]);
+  __m512i tr = load_even8(base + off[1]);
+  __m512i bl = load_even8(base + off[2]);
+  __m512i br = load_even8(base + off[3]);
+  __m512i rs = _mm512_add_epi64(_mm512_sub_epi64(br, tr),
+                                _mm512_sub_epi64(tl, bl));
+  return _mm512_cvtepu64_pd(rs);
+}
+
+// Evaluate the cascade for one group of <=8 adjacent windows (row y, first
+// window x0, lane i = window x0 + 2i). Appends survivors to out_xys in
+// lane (= x) order. Returns the updated n_out (true count; writes capped
+// at max_out like the scalar engine).
+__attribute__((target("avx512f,avx512dq"))) static int eval_group8(
+    const uint64_t* iid, const uint64_t* ii2d, StumpBuilder& sb,
+    const std::vector<Stump>& stumps, const int32_t* stage_ends,
+    const double* stage_thr, int n_stages, int win_w, int win_h, int W1,
+    double area, int y, int x0, int nwin, double factor, float* out_xys,
+    int max_out, int n_out) {
+  const size_t o = (size_t)y * W1 + x0;
+  __mmask8 alive = (__mmask8)((1u << nwin) - 1u);
+
+  // variance normalization over the (1,1,w-2,h-2) normrect
+  const size_t n1 = o + W1 + 1;
+  const int nw = win_w - 2, nh = win_h - 2;
+  const int noff[4] = {0, nw, nh * W1, nh * W1 + nw};
+  __m512d s1 = rect_sum8(iid + n1, noff);
+  __m512d s2 = rect_sum8(ii2d + n1, noff);
+  __m512d nf2 = _mm512_sub_pd(_mm512_mul_pd(_mm512_set1_pd(area), s2),
+                              _mm512_mul_pd(s1, s1));
+  __m512d ones = _mm512_set1_pd(1.0);
+  __mmask8 pos = _mm512_cmp_pd_mask(nf2, _mm512_setzero_pd(), _CMP_GT_OQ);
+  // masked sqrt+div: lanes with nf2<=0 keep inv_nf=1.0 (scalar semantics)
+  __m512d inv_nf = _mm512_mask_div_pd(
+      ones, pos, ones, _mm512_mask_sqrt_pd(ones, pos, nf2));
+
+  int t = 0;
+  for (int si = 0; si < n_stages; ++si) {
+    const int end = stage_ends[si];
+    if (end > sb.built) sb.build_to(end);
+    __m512d acc = _mm512_setzero_pd();
+    for (; t < end; ++t) {
+      const Stump& s = stumps[t];
+      __m512d v = _mm512_setzero_pd();
+      for (int k = 0; k < s.nrects; ++k)
+        v = _mm512_add_pd(
+            v, _mm512_mul_pd(rect_sum8(iid + o, s.off[k]),
+                             _mm512_set1_pd(s.w[k])));
+      __mmask8 lt = _mm512_cmp_pd_mask(_mm512_mul_pd(v, inv_nf),
+                                       _mm512_set1_pd(s.thr), _CMP_LT_OQ);
+      acc = _mm512_add_pd(
+          acc, _mm512_mask_blend_pd(lt, _mm512_set1_pd(s.leaf1),
+                                    _mm512_set1_pd(s.leaf0)));
+    }
+    alive &= _mm512_cmp_pd_mask(acc, _mm512_set1_pd(stage_thr[si]),
+                                _CMP_GE_OQ);
+    if (!alive) return n_out;
+  }
+  for (int i = 0; i < nwin; ++i) {
+    if (!(alive & (1u << i))) continue;
+    if (n_out < max_out) {
+      out_xys[n_out * 3] = (float)((x0 + 2 * i) * factor);
+      out_xys[n_out * 3 + 1] = (float)(y * factor);
+      out_xys[n_out * 3 + 2] = (float)(win_w * factor);
+    }
+    ++n_out;
+  }
+  return n_out;
+}
+
+#endif  // HAAR_HAVE_AVX512_BUILD
+
+bool use_avx512() {
+#ifdef HAAR_HAVE_AVX512_BUILD
+  static const bool hw = __builtin_cpu_supports("avx512f") &&
+                         __builtin_cpu_supports("avx512dq") != 0;
+  if (!hw) return false;
+  // env read per call (not cached) so tests can A/B the engines in-process
+  const char* e = getenv("HAAR_SIMD");
+  return !(e && e[0] == '0');
+#else
+  return false;
+#endif
+}
 
 }  // namespace
 
@@ -107,8 +262,10 @@ int haar_scan(const float* gray, int H, int W,
     resize_bilinear(gray, H, W, level.data(), lh, lw);
 
     const int W1 = lw + 1;
-    ii.assign((size_t)(lh + 1) * W1, 0);
-    ii2.assign((size_t)(lh + 1) * W1, 0);
+    // +32 element pad: the AVX-512 group loader reads 16 consecutive
+    // uint64 starting up to 14 lanes past the last window's corner
+    ii.assign((size_t)(lh + 1) * W1 + 32, 0);
+    ii2.assign((size_t)(lh + 1) * W1 + 32, 0);
     for (int y = 0; y < lh; ++y) {
       uint64_t row = 0, row2 = 0;
       for (int x = 0; x < lw; ++x) {
@@ -122,40 +279,22 @@ int haar_scan(const float* gray, int H, int W,
       }
     }
 
-    // flat corner offsets are level-width dependent, so they must be
-    // rebuilt per level — but LAZILY, stage by stage, as the first window
-    // of the level reaches each stage: >95% of windows die in stages 0-2,
-    // so most levels never materialize offsets for the other ~2.8k stumps.
-    // (Rebuilding all of them cost ~350 KB of writes per level, which
-    // dominated small tracked-ROI scans.)
-    int built = 0;
-    auto build_to = [&](int end) {
-      for (int t = built; t < end; ++t) {
-        const int32_t* r = rects + (size_t)feat_idx[t] * 12;
-        const double* w = weights + (size_t)feat_idx[t] * 3;
-        Stump& s = stumps[t];
-        s.nrects = 0;
-        for (int j = 0; j < 3; ++j) {
-          if (w[j] == 0.0) continue;
-          int x = r[j * 4], y = r[j * 4 + 1], rw = r[j * 4 + 2],
-              rh = r[j * 4 + 3];
-          int k = s.nrects++;
-          s.off[k][0] = y * W1 + x;
-          s.off[k][1] = y * W1 + x + rw;
-          s.off[k][2] = (y + rh) * W1 + x;
-          s.off[k][3] = (y + rh) * W1 + x + rw;
-          s.w[k] = w[j];
-        }
-        s.thr = node_thr[t];
-        s.leaf0 = leaves[t * 2];
-        s.leaf1 = leaves[t * 2 + 1];
-      }
-      built = end;
-    };
-
+    StumpBuilder sb{stumps, rects, weights, feat_idx, node_thr, leaves, W1};
     const uint64_t* iid = ii.data();
     const uint64_t* ii2d = ii2.data();
+    const int nx = (lw - win_w) / 2 + 1;  // windows per row at x stride 2
+    const bool simd = use_avx512();
     for (int y = 0; y + win_h <= lh; y += 2) {
+#ifdef HAAR_HAVE_AVX512_BUILD
+      if (simd) {
+        for (int g = 0; g < nx; g += 8)
+          n_out = eval_group8(iid, ii2d, sb, stumps, stage_ends, stage_thr,
+                              n_stages, win_w, win_h, W1, area, y, 2 * g,
+                              nx - g < 8 ? nx - g : 8, factor, out_xys,
+                              max_out, n_out);
+        continue;
+      }
+#endif
       for (int x = 0; x + win_w <= lw; x += 2) {
         const size_t o = (size_t)y * W1 + x;
         // variance normalization over normrect (1,1,w-2,h-2)
@@ -173,7 +312,7 @@ int haar_scan(const float* gray, int H, int W,
         for (int si = 0; si < n_stages && alive; ++si) {
           double acc = 0.0;
           const int end = stage_ends[si];
-          if (end > built) build_to(end);
+          if (end > sb.built) sb.build_to(end);
           for (; t < end; ++t) {
             const Stump& s = stumps[t];
             double v = 0.0;

@@ -664,11 +664,39 @@ void resize_f32_bilinear(const float* src, int h, int w, float* dst, int oh,
   }
 }
 
-// strided uint8 plane → contiguous float32, bilinear, same center-aligned
-// sampling grid as the detector's own resize (native/haar.cc)
-void resize_u8_bilinear(const uint8_t* src, int stride, int h, int w,
-                        float* dst, int oh, int ow) {
-  for (int oy = 0; oy < oh; ++oy) {
+// Horizontal sampling LUT for the detection-res luma resize — the grid is
+// constant across a clip's frames, so floor/clamp per output column is
+// hoisted out of the per-frame loop.
+struct HLut {
+  std::vector<int> x0, x1;
+  std::vector<float> wx;
+  void build(int w, int ow) {
+    x0.resize(ow);
+    x1.resize(ow);
+    wx.resize(ow);
+    for (int ox = 0; ox < ow; ++ox) {
+      float fx = (ox + 0.5f) * (float)w / ow - 0.5f;
+      int a = (int)std::floor(fx);
+      float t = fx - a;
+      if (a < 0) { a = 0; t = 0.f; }
+      if (a > w - 1) { a = w - 1; t = 0.f; }
+      x0[ox] = a;
+      x1[ox] = a + 1 < w ? a + 1 : w - 1;
+      wx[ox] = t;
+    }
+  }
+};
+
+// Rows [oy0,oy1) x cols [ox0,ox1) of the virtual (oh,ow) bilinear resize of
+// a strided uint8 plane, written densely into dst ((oy1-oy0, ox1-ox0)).
+// Bit-identical to the corresponding region of a full-output resize — the
+// tracked-ROI fast path depends on that: scanning a region-resized patch
+// must equal scanning a crop of the full detection-res gray.
+void resize_u8_region(const uint8_t* src, int stride, int h, int w,
+                      const HLut& lut, int oh, int oy0, int oy1, int ox0,
+                      int ox1, float* dst) {
+  const int dw = ox1 - ox0;
+  for (int oy = oy0; oy < oy1; ++oy) {
     float fy = (oy + 0.5f) * (float)h / oh - 0.5f;
     int y0 = (int)std::floor(fy);
     float wy = fy - y0;
@@ -677,19 +705,16 @@ void resize_u8_bilinear(const uint8_t* src, int stride, int h, int w,
     int y1 = y0 + 1 < h ? y0 + 1 : h - 1;
     const uint8_t* r0 = src + (size_t)y0 * stride;
     const uint8_t* r1 = src + (size_t)y1 * stride;
-    for (int ox = 0; ox < ow; ++ox) {
-      float fx = (ox + 0.5f) * (float)w / ow - 0.5f;
-      int x0 = (int)std::floor(fx);
-      float wx = fx - x0;
-      if (x0 < 0) { x0 = 0; wx = 0.f; }
-      if (x0 > w - 1) { x0 = w - 1; wx = 0.f; }
-      int x1 = x0 + 1 < w ? x0 + 1 : w - 1;
-      float top = r0[x0] * (1 - wx) + r0[x1] * wx;
-      float bot = r1[x0] * (1 - wx) + r1[x1] * wx;
-      dst[(size_t)oy * ow + ox] = top * (1 - wy) + bot * wy;
+    float* d = dst + (size_t)(oy - oy0) * dw;
+    for (int ox = ox0; ox < ox1; ++ox) {
+      float wx = lut.wx[ox];
+      float top = r0[lut.x0[ox]] * (1 - wx) + r0[lut.x1[ox]] * wx;
+      float bot = r1[lut.x0[ox]] * (1 - wx) + r1[lut.x1[ox]] * wx;
+      d[ox - ox0] = top * (1 - wy) + bot * wy;
     }
   }
 }
+
 
 // Port of data/haar.py::group_rectangles specialised to the serving need:
 // cluster raw (x, y, side) windows (eps=0.2 edge similarity, union-find),
@@ -849,23 +874,33 @@ int vd_sample_seek_faces_yuv(
   std::vector<float> gray((size_t)gh * gw), roi_buf, raw;
   SwsContext* crop_sws = nullptr;
   SwsContext* gray_sws = nullptr;
+  HLut lut;  // horizontal resize LUT, constant across the clip's frames
+  lut.build(W, gw);
 
   auto process_frame = [&](AVFrame* f) {
-    // ---- 1. detection gray (luma, detection resolution) -----------------
-    if (planar_luma8 && f->data[0]) {
-      resize_u8_bilinear(f->data[0], f->linesize[0], H, W, gray.data(), gh,
-                         gw);
-    } else {  // exotic pix fmt: let swscale produce the gray
-      static thread_local std::vector<uint8_t> g8;
-      g8.resize((size_t)gh * gw);
-      gray_sws = sws_getCachedContext(gray_sws, W, H, c->dec->pix_fmt, gw, gh,
-                                      AV_PIX_FMT_GRAY8, SWS_FAST_BILINEAR,
-                                      nullptr, nullptr, nullptr);
-      uint8_t* dst[1] = {g8.data()};
-      int dst_stride[1] = {gw};
-      sws_scale(gray_sws, f->data, f->linesize, 0, H, dst, dst_stride);
-      for (size_t i = 0; i < g8.size(); ++i) gray[i] = g8[i];
-    }
+    // ---- 1. detection gray (luma, detection resolution), built LAZILY:
+    // tracked frames resize only the ROI region (r5 — the full-frame
+    // resize was ~45% of per-clip detection cost once the scan went SIMD)
+    bool gray_built = false;
+    auto ensure_gray = [&]() {
+      if (gray_built) return;
+      gray_built = true;
+      if (planar_luma8 && f->data[0]) {
+        resize_u8_region(f->data[0], f->linesize[0], H, W, lut, gh, 0, gh, 0,
+                         gw, gray.data());
+      } else {  // exotic pix fmt: let swscale produce the gray
+        static thread_local std::vector<uint8_t> g8;
+        g8.resize((size_t)gh * gw);
+        gray_sws = sws_getCachedContext(gray_sws, W, H, c->dec->pix_fmt, gw,
+                                        gh, AV_PIX_FMT_GRAY8,
+                                        SWS_FAST_BILINEAR, nullptr, nullptr,
+                                        nullptr);
+        uint8_t* dst[1] = {g8.data()};
+        int dst_stride[1] = {gw};
+        sws_scale(gray_sws, f->data, f->linesize, 0, H, dst, dst_stride);
+        for (size_t i = 0; i < g8.size(); ++i) gray[i] = g8[i];
+      }
+    };
 
     // ---- 2. largest-face detection with temporal tracking ---------------
     bool found = false;
@@ -874,7 +909,9 @@ int vd_sample_seek_faces_yuv(
 
     // ROI scan around a center/size prior at full detection resolution —
     // shared by temporal tracking and coarse-acquisition refinement.
-    // cx/cy/side in DETECTION coords.
+    // cx/cy/side in DETECTION coords. When the full gray hasn't been built
+    // yet (tracked fast path), the ROI patch is region-resized straight
+    // from the luma plane — bit-identical to cropping the full resize.
     auto roi_scan = [&](double cx, double cy, double side, double expand,
                         double lo, double hi, double out_box[4]) -> bool {
       double half = 0.5 * side * expand;
@@ -885,10 +922,16 @@ int vd_sample_seek_faces_yuv(
       int rw = rx1 - rx0, rh = ry1 - ry0;
       if (rw < win_w || rh < win_h) return false;
       roi_buf.resize((size_t)rw * rh);
-      for (int y = 0; y < rh; ++y)
-        std::memcpy(roi_buf.data() + (size_t)y * rw,
-                    gray.data() + (size_t)(ry0 + y) * gw + rx0,
-                    sizeof(float) * rw);
+      if (!gray_built && planar_luma8 && f->data[0]) {
+        resize_u8_region(f->data[0], f->linesize[0], H, W, lut, gh, ry0, ry1,
+                         rx0, rx1, roi_buf.data());
+      } else {
+        ensure_gray();
+        for (int y = 0; y < rh; ++y)
+          std::memcpy(roi_buf.data() + (size_t)y * rw,
+                      gray.data() + (size_t)(ry0 + y) * gw + rx0,
+                      sizeof(float) * rw);
+      }
       int mn = std::max(win_w, (int)(lo * side));
       int mx = std::max(win_w, (int)(hi * side));
       // size is known within the [lo, hi] band, so a coarser pyramid
@@ -919,6 +962,7 @@ int vd_sample_seek_faces_yuv(
       // implied minimum detectable face is 2*win_w detection pixels
       // (~15% of frame height at the default HAAR_MAX_SIDE) — smaller
       // faces fall through to the full-res scan below.
+      ensure_gray();
       int aw = std::max(win_w, gw / 2), ah = std::max(win_h, gh / 2);
       std::vector<float> coarse((size_t)aw * ah);
       resize_f32_bilinear(gray.data(), gh, gw, coarse.data(), ah, aw);
@@ -942,6 +986,7 @@ int vd_sample_seek_faces_yuv(
       }
     }
     if (!found) {  // acquisition off/empty: full-resolution full scan
+      ensure_gray();
       found = detect_largest_gray(hm, gray.data(), gh, gw, min_neighbors,
                                   win_w, 0, box, raw);
       if (found) how = 3;

@@ -124,6 +124,32 @@ def test_numpy_and_native_engines_identical():
     assert len(a) > 0
 
 
+def test_simd_and_scalar_native_engines_identical(monkeypatch):
+    """The AVX-512 group scan must be BIT-identical to the scalar C++ scan
+    (same double-precision op sequence per lane, no FMA contraction) —
+    window-for-window, including window ORDER, on both structured and
+    dense-survival inputs. Skips where the host lacks AVX-512 (the scalar
+    path is then the only engine and is covered above)."""
+    _require_cascade()
+    c = HaarCascade()
+    rng = np.random.default_rng(7)
+    scenes = [scene_with_face().astype(np.float32),
+              scene_with_face(ox=160, oy=80).astype(np.float32),
+              rng.integers(0, 256, (180, 320)).astype(np.float32)]
+    any_diff_path = False
+    for img in scenes:
+        monkeypatch.setenv("HAAR_SIMD", "0")
+        raw_scalar = c._detect_raw_native(img, 1.1, 24, None)
+        monkeypatch.setenv("HAAR_SIMD", "1")
+        raw_simd = c._detect_raw_native(img, 1.1, 24, None)
+        if raw_scalar is None or raw_simd is None:
+            pytest.skip("native haar engine unavailable (no g++?)")
+        assert raw_scalar.shape == raw_simd.shape
+        assert np.array_equal(raw_scalar, raw_simd)
+        any_diff_path = any_diff_path or len(raw_scalar) > 0
+    assert any_diff_path  # at least one scene produced windows to compare
+
+
 def test_detect_faces_fullres_coords():
     """detect_faces runs at HAAR_MAX_SIDE but returns original coords."""
     _require_cascade()
