@@ -266,6 +266,25 @@ def lstm(
 # ---------------------------------------------------------------------------
 
 
+def _use_fused_attn() -> bool:
+    """Fused (Pallas) attention policy for the ViT backbones.
+
+    ``VIT_FUSED_ATTN=1|0`` forces; default (auto) fuses on TPU backends.
+    Measured on hardware (r5, docs/performance.md): at ViT shapes
+    (N = 197, B·T·heads ≈ 1.5k) the XLA path materialises the f32 score
+    tensor (~240 MB/layer) in HBM and held the attention half at 24% MFU;
+    the single-block short-N kernel (``ops/attention.py``) keeps scores in
+    VMEM. CPU stays on the XLA path (Pallas interpret mode is test-only)."""
+    import os
+
+    v = os.environ.get("VIT_FUSED_ATTN", "").strip()
+    if v in ("1", "true", "yes"):
+        return True
+    if v in ("0", "false", "no"):
+        return False
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def multi_head_attention(
     p: Params,
     x: jnp.ndarray,
@@ -284,9 +303,16 @@ def multi_head_attention(
     q = jnp.swapaxes(q, 1, 2)                           # (B, nh, N, hd)
     k = jnp.swapaxes(k, 1, 2)
     v = jnp.swapaxes(v, 1, 2)
-    scale = 1.0 / math.sqrt(head)
-    attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32) * scale
-    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32).astype(x.dtype)
+    if _use_fused_attn():
+        from deepfake_video_detection_tpu.ops.attention import flash_attention
+
+        out = flash_attention(q, k, v)                  # (B, nh, N, hd)
+    else:
+        scale = 1.0 / math.sqrt(head)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                          preferred_element_type=jnp.float32) * scale
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
     out = jnp.swapaxes(out, 1, 2).reshape(B, N, C)
     return linear(p["proj"], out)

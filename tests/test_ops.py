@@ -43,8 +43,10 @@ def test_fused_normalize_bf16_output():
     assert out.dtype == jnp.bfloat16
 
 
-@pytest.mark.parametrize("n", [64, 128, 200, 384])
+@pytest.mark.parametrize("n", [64, 128, 200, 384, 640])
 def test_flash_attention_matches_reference(n):
+    """n <= 512 exercises the single-block short-N kernel (r5 — the ViT
+    shapes), n = 640 the streaming flash recurrence."""
     rng = np.random.default_rng(0)
     B, H, d = 2, 3, 64
     q = jnp.asarray(rng.normal(size=(B, H, n, d)), jnp.float32)
@@ -148,6 +150,20 @@ def test_flash_attention_grad_matches_reference():
     rng = np.random.default_rng(7)
     q, k, v = (jnp.asarray(rng.standard_normal((B, H, N, d)), jnp.float32)
                for _ in range(3))
+    run_flash_grad_check(q, k, v, d)
+
+
+def test_flash_attention_grad_streaming_matches_reference():
+    """N > 512: the streaming two-kernel FlashAttention-2 backward (the
+    short-N single-program backward is covered above at N = 160)."""
+    B, H, N, d = 1, 1, 640, 32
+    rng = np.random.default_rng(8)
+    q, k, v = (jnp.asarray(rng.standard_normal((B, H, N, d)), jnp.float32)
+               for _ in range(3))
+    run_flash_grad_check(q, k, v, d)
+
+
+def run_flash_grad_check(q, k, v, d):
 
     def ref(q, k, v):
         s = jnp.einsum("bhnd,bhmd->bhnm", q, k) / jnp.sqrt(1.0 * d)
