@@ -377,8 +377,17 @@ class FaceExtractor:
         RGB path: frames whose detection comes up empty are dropped, and a
         clip with no detection anywhere falls back to center-prior crops
         for every frame (≙ ``extract_from_frames``' whole-clip fallback).
-        The crop boxes / found mask of the last call are kept on
-        ``self.last_boxes`` / ``self.last_found`` for introspection.
+
+        Introspection attributes of the last call:
+        * ``self.last_boxes`` — (M, 4) crop boxes, compacted: row i pairs
+          with returned row i;
+        * ``self.last_found`` — (n_sampled,) how-detected codes indexed by
+          SAMPLED frame (pre-compaction), NOT by returned row;
+        * ``self.last_frame_index`` — (M,) sampled-frame index of each
+          returned row: returned row i came from sampled frame
+          ``last_frame_index[i]`` (so its detection code is
+          ``last_found[last_frame_index[i]]``, and its temporal position
+          in the clip is recoverable after compaction).
 
         ``out``: optional preallocated (max_frames, face_size²·3/2) uint8
         slot (e.g. a view into a batch buffer) — the decode writes in place
@@ -420,13 +429,16 @@ class FaceExtractor:
             if found.any() and not found.all():
                 # reference drop-undetected semantics (app.py:1988-2025),
                 # compacted in place so a caller-provided batch slot stays
-                # dense; last_boxes is compacted identically so row i of
-                # the RETURNED array always pairs with last_boxes[i]
+                # dense; last_boxes/last_frame_index are compacted
+                # identically so row i of the RETURNED array always pairs
+                # with last_boxes[i] / last_frame_index[i]
                 k = int(found.sum())
                 packed[:k] = packed[found]
                 self.last_boxes = boxes[found]
+                self.last_frame_index = np.flatnonzero(found)
                 return packed[:k]
             self.last_boxes = boxes
+            self.last_frame_index = np.arange(boxes.shape[0])
             return packed
         from deepfake_video_detection_tpu.data.video import (
             sample_video_faces_spread_yuv)

@@ -36,9 +36,66 @@
 
 namespace {
 
-// bilinear resize, same sampling as data/haar.py::_resize_bilinear
+bool use_avx512();  // defined below (cpuid + HAAR_SIMD env gate)
+
+#ifdef HAAR_HAVE_AVX512_BUILD
+// one output row of the LUT-driven bilinear resize: f32 gathers (exact
+// 4-byte elements — no over-read), mul/add in the same order as the scalar
+// loop (no FMA contraction), so output is bit-identical.
+__attribute__((target("avx512f"))) void resize_row_avx512(
+    const float* r0, const float* r1, const int* lx0, const int* lx1,
+    const float* lwx, float wy, float* d, int n) {
+  const __m512 one = _mm512_set1_ps(1.f);
+  const __m512 vwy = _mm512_set1_ps(wy);
+  const __m512 vwy1 = _mm512_set1_ps(1.f - wy);
+  int ox = 0;
+  for (; ox + 16 <= n; ox += 16) {
+    __m512i i0 = _mm512_loadu_si512((const void*)(lx0 + ox));
+    __m512i i1 = _mm512_loadu_si512((const void*)(lx1 + ox));
+    __m512 wx = _mm512_loadu_ps(lwx + ox);
+    __m512 wx1 = _mm512_sub_ps(one, wx);
+    __m512 t0 = _mm512_i32gather_ps(i0, r0, 4);
+    __m512 t1 = _mm512_i32gather_ps(i1, r0, 4);
+    __m512 b0 = _mm512_i32gather_ps(i0, r1, 4);
+    __m512 b1 = _mm512_i32gather_ps(i1, r1, 4);
+    __m512 top = _mm512_add_ps(_mm512_mul_ps(t0, wx1), _mm512_mul_ps(t1, wx));
+    __m512 bot = _mm512_add_ps(_mm512_mul_ps(b0, wx1), _mm512_mul_ps(b1, wx));
+    _mm512_storeu_ps(d + ox,
+                     _mm512_add_ps(_mm512_mul_ps(top, vwy1),
+                                   _mm512_mul_ps(bot, vwy)));
+  }
+  for (; ox < n; ++ox) {
+    float wx = lwx[ox];
+    float top = r0[lx0[ox]] * (1 - wx) + r0[lx1[ox]] * wx;
+    float bot = r1[lx0[ox]] * (1 - wx) + r1[lx1[ox]] * wx;
+    d[ox] = top * (1 - wy) + bot * wy;
+  }
+}
+#endif
+
+// bilinear resize, same sampling as data/haar.py::_resize_bilinear.
+// The horizontal floor/clamp is hoisted into per-call LUTs (the per-pixel
+// expression is unchanged, so output is bit-identical to the naive loop).
 void resize_bilinear(const float* src, int h, int w, float* dst, int oh,
                      int ow) {
+  thread_local std::vector<int> lx0, lx1;
+  thread_local std::vector<float> lwx;
+  lx0.resize(ow);
+  lx1.resize(ow);
+  lwx.resize(ow);
+  for (int ox = 0; ox < ow; ++ox) {
+    float fx = (ox + 0.5f) * (float)w / ow - 0.5f;
+    int a = (int)std::floor(fx);
+    float t = fx - a;
+    if (a < 0) { a = 0; t = 0.f; }
+    if (a > w - 1) { a = w - 1; t = 0.f; }
+    lx0[ox] = a;
+    lx1[ox] = a + 1 < w ? a + 1 : w - 1;
+    lwx[ox] = t;
+  }
+#ifdef HAAR_HAVE_AVX512_BUILD
+  const bool simd = use_avx512();
+#endif
   for (int oy = 0; oy < oh; ++oy) {
     float fy = (oy + 0.5f) * (float)h / oh - 0.5f;
     int y0 = (int)std::floor(fy);
@@ -46,16 +103,21 @@ void resize_bilinear(const float* src, int h, int w, float* dst, int oh,
     if (y0 < 0) { y0 = 0; wy = 0.f; }
     if (y0 > h - 1) { y0 = h - 1; wy = 0.f; }
     int y1 = y0 + 1 < h ? y0 + 1 : h - 1;
+    const float* r0 = src + (size_t)y0 * w;
+    const float* r1 = src + (size_t)y1 * w;
+    float* d = dst + (size_t)oy * ow;
+#ifdef HAAR_HAVE_AVX512_BUILD
+    if (simd) {
+      resize_row_avx512(r0, r1, lx0.data(), lx1.data(), lwx.data(), wy, d,
+                        ow);
+      continue;
+    }
+#endif
     for (int ox = 0; ox < ow; ++ox) {
-      float fx = (ox + 0.5f) * (float)w / ow - 0.5f;
-      int x0 = (int)std::floor(fx);
-      float wx = fx - x0;
-      if (x0 < 0) { x0 = 0; wx = 0.f; }
-      if (x0 > w - 1) { x0 = w - 1; wx = 0.f; }
-      int x1 = x0 + 1 < w ? x0 + 1 : w - 1;
-      float top = src[y0 * w + x0] * (1 - wx) + src[y0 * w + x1] * wx;
-      float bot = src[y1 * w + x0] * (1 - wx) + src[y1 * w + x1] * wx;
-      dst[oy * ow + ox] = top * (1 - wy) + bot * wy;
+      float wx = lwx[ox];
+      float top = r0[lx0[ox]] * (1 - wx) + r0[lx1[ox]] * wx;
+      float bot = r1[lx0[ox]] * (1 - wx) + r1[lx1[ox]] * wx;
+      d[ox] = top * (1 - wy) + bot * wy;
     }
   }
 }
@@ -208,9 +270,40 @@ bool use_avx512() {
 #endif
 }
 
+#ifdef HAAR_HAVE_AVX512_BUILD
+// float row → round-half-even uint32 (cvtps2dq in the default rounding
+// mode IS rint — identical to the scalar std::rint conversion)
+__attribute__((target("avx512f"))) void convert_row_avx512(const float* src,
+                                                           uint32_t* dst,
+                                                           int n) {
+  int i = 0;
+  for (; i + 16 <= n; i += 16)
+    _mm512_storeu_si512((void*)(dst + i),
+                        _mm512_cvtps_epi32(_mm512_loadu_ps(src + i)));
+  for (; i < n; ++i) dst[i] = (uint32_t)(int64_t)std::rint(src[i]);
+}
+#endif
+
+void convert_row(const float* src, uint32_t* dst, int n) {
+#ifdef HAAR_HAVE_AVX512_BUILD
+  if (use_avx512()) {
+    convert_row_avx512(src, dst, n);
+    return;
+  }
+#endif
+  for (int i = 0; i < n; ++i) dst[i] = (uint32_t)(int64_t)std::rint(src[i]);
+}
+
 }  // namespace
 
 extern "C" {
+
+// exported for videodec.cc (linked into libvideodec.so): the coarse
+// acquisition downscale shares this engine so it rides the same SIMD path
+void haar_resize_f32(const float* src, int h, int w, float* dst, int oh,
+                     int ow) {
+  resize_bilinear(src, h, w, dst, oh, ow);
+}
 
 // RGB uint8 (H,W,3) → BT.601 gray float32 downscaled to (oh,ow) — the
 // full-res prepare step of detect_faces (data/haar.py). Fusing gray+resize
@@ -245,9 +338,14 @@ int haar_scan(const float* gray, int H, int W,
   int total_stumps = stage_ends[n_stages - 1];
   int n_out = 0;
 
-  std::vector<float> level;
-  std::vector<uint64_t> ii, ii2;
-  std::vector<Stump> stumps(total_stumps);
+  // thread_local: the serving path scans per tracked frame — reallocating
+  // (and value-zeroing) ~350 KB of buffers per scan dominated small-ROI
+  // scans once the window evaluation went SIMD (r5)
+  thread_local std::vector<float> level;
+  thread_local std::vector<uint64_t> ii, ii2;
+  thread_local std::vector<uint32_t> rowtmp;
+  thread_local std::vector<Stump> stumps;
+  if ((int)stumps.size() < total_stumps) stumps.resize(total_stumps);
 
   double factor = min_size > win_w ? (double)min_size / win_w : 1.0;
   const double area = (double)(win_w - 2) * (win_h - 2);
@@ -263,19 +361,34 @@ int haar_scan(const float* gray, int H, int W,
 
     const int W1 = lw + 1;
     // +32 element pad: the AVX-512 group loader reads 16 consecutive
-    // uint64 starting up to 14 lanes past the last window's corner
-    ii.assign((size_t)(lh + 1) * W1 + 32, 0);
-    ii2.assign((size_t)(lh + 1) * W1 + 32, 0);
+    // uint64 starting up to 14 lanes past the last window's corner.
+    // Only row 0, column 0 and the pad are zeroed — the prefix pass
+    // overwrites everything else.
+    const size_t need = (size_t)(lh + 1) * W1 + 32;
+    if (ii.size() < need) ii.resize(need);
+    if (ii2.size() < need) ii2.resize(need);
+    rowtmp.resize(lw);
+    std::memset(ii.data(), 0, sizeof(uint64_t) * W1);
+    std::memset(ii2.data(), 0, sizeof(uint64_t) * W1);
+    std::memset(ii.data() + need - 32, 0, sizeof(uint64_t) * 32);
+    std::memset(ii2.data() + need - 32, 0, sizeof(uint64_t) * 32);
     for (int y = 0; y < lh; ++y) {
+      // rint (round-half-even) matches numpy's np.rint in the fallback
+      // engine — keeps the engines window-for-window identical
+      convert_row(level.data() + (size_t)y * lw, rowtmp.data(), lw);
       uint64_t row = 0, row2 = 0;
+      const uint64_t* pi = ii.data() + (size_t)y * W1;
+      const uint64_t* pi2 = ii2.data() + (size_t)y * W1;
+      uint64_t* ci = ii.data() + (size_t)(y + 1) * W1;
+      uint64_t* ci2 = ii2.data() + (size_t)(y + 1) * W1;
+      ci[0] = 0;
+      ci2[0] = 0;
       for (int x = 0; x < lw; ++x) {
-        // rint (round-half-even) matches numpy's np.rint in the fallback
-        // engine — keeps the two engines window-for-window identical
-        uint32_t v = (uint32_t)(int64_t)std::rint(level[(size_t)y * lw + x]);
+        uint32_t v = rowtmp[x];
         row += v;
         row2 += (uint64_t)v * v;
-        ii[(size_t)(y + 1) * W1 + x + 1] = ii[(size_t)y * W1 + x + 1] + row;
-        ii2[(size_t)(y + 1) * W1 + x + 1] = ii2[(size_t)y * W1 + x + 1] + row2;
+        ci[x + 1] = pi[x + 1] + row;
+        ci2[x + 1] = pi2[x + 1] + row2;
       }
     }
 

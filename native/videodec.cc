@@ -624,6 +624,9 @@ extern "C" int haar_scan(const float* gray, int H, int W, const int32_t* rects,
                          int n_stages, int win_w, int win_h,
                          double scale_factor, int min_size, int max_size,
                          float* out_xys, int max_out);
+// f32 bilinear downscale from haar.cc — SIMD when the host has AVX-512
+extern "C" void haar_resize_f32(const float* src, int h, int w, float* dst,
+                                int oh, int ow);
 
 namespace {
 
@@ -638,31 +641,6 @@ struct HaarModel {  // borrowed views of the caller's parsed cascade arrays
   int n_stages, win_w, win_h;
 };
 
-// contiguous float32 → float32 bilinear (coarse acquisition downscale)
-void resize_f32_bilinear(const float* src, int h, int w, float* dst, int oh,
-                         int ow) {
-  for (int oy = 0; oy < oh; ++oy) {
-    float fy = (oy + 0.5f) * (float)h / oh - 0.5f;
-    int y0 = (int)std::floor(fy);
-    float wy = fy - y0;
-    if (y0 < 0) { y0 = 0; wy = 0.f; }
-    if (y0 > h - 1) { y0 = h - 1; wy = 0.f; }
-    int y1 = y0 + 1 < h ? y0 + 1 : h - 1;
-    const float* r0 = src + (size_t)y0 * w;
-    const float* r1 = src + (size_t)y1 * w;
-    for (int ox = 0; ox < ow; ++ox) {
-      float fx = (ox + 0.5f) * (float)w / ow - 0.5f;
-      int x0 = (int)std::floor(fx);
-      float wx = fx - x0;
-      if (x0 < 0) { x0 = 0; wx = 0.f; }
-      if (x0 > w - 1) { x0 = w - 1; wx = 0.f; }
-      int x1 = x0 + 1 < w ? x0 + 1 : w - 1;
-      float top = r0[x0] * (1 - wx) + r0[x1] * wx;
-      float bot = r1[x0] * (1 - wx) + r1[x1] * wx;
-      dst[(size_t)oy * ow + ox] = top * (1 - wy) + bot * wy;
-    }
-  }
-}
 
 // Horizontal sampling LUT for the detection-res luma resize — the grid is
 // constant across a clip's frames, so floor/clamp per output column is
@@ -687,6 +665,59 @@ struct HLut {
   }
 };
 
+#if defined(__x86_64__) || defined(_M_X64)
+#include <immintrin.h>
+#define VD_HAVE_AVX512_BUILD 1
+
+// One output row of the u8 bilinear resize via dword gathers at byte
+// addresses (low byte masked out). Same mul/add order as the scalar loop
+// (no FMA contraction) → bit-identical output. A gather at column index
+// w-1 reads 3 bytes past the row, so callers must guarantee
+// stride >= w + 4 AND pass rows below the last plane row (the scalar
+// fallback handles the rest).
+__attribute__((target("avx512f"))) void resize_u8_row_avx512(
+    const uint8_t* r0, const uint8_t* r1, const int* lx0, const int* lx1,
+    const float* lwx, float wy, float* d, int n) {
+  const __m512i mask = _mm512_set1_epi32(0xFF);
+  const __m512 one = _mm512_set1_ps(1.f);
+  const __m512 vwy = _mm512_set1_ps(wy);
+  const __m512 vwy1 = _mm512_set1_ps(1.f - wy);
+  int ox = 0;
+  for (; ox + 16 <= n; ox += 16) {
+    __m512i i0 = _mm512_loadu_si512((const void*)(lx0 + ox));
+    __m512i i1 = _mm512_loadu_si512((const void*)(lx1 + ox));
+    __m512 wx = _mm512_loadu_ps(lwx + ox);
+    __m512 wx1 = _mm512_sub_ps(one, wx);
+    __m512 t0 = _mm512_cvtepi32_ps(_mm512_and_si512(
+        _mm512_i32gather_epi32(i0, (const int*)r0, 1), mask));
+    __m512 t1 = _mm512_cvtepi32_ps(_mm512_and_si512(
+        _mm512_i32gather_epi32(i1, (const int*)r0, 1), mask));
+    __m512 b0 = _mm512_cvtepi32_ps(_mm512_and_si512(
+        _mm512_i32gather_epi32(i0, (const int*)r1, 1), mask));
+    __m512 b1 = _mm512_cvtepi32_ps(_mm512_and_si512(
+        _mm512_i32gather_epi32(i1, (const int*)r1, 1), mask));
+    __m512 top = _mm512_add_ps(_mm512_mul_ps(t0, wx1), _mm512_mul_ps(t1, wx));
+    __m512 bot = _mm512_add_ps(_mm512_mul_ps(b0, wx1), _mm512_mul_ps(b1, wx));
+    _mm512_storeu_ps(d + ox,
+                     _mm512_add_ps(_mm512_mul_ps(top, vwy1),
+                                   _mm512_mul_ps(bot, vwy)));
+  }
+  for (; ox < n; ++ox) {
+    float wx = lwx[ox];
+    float top = r0[lx0[ox]] * (1 - wx) + r0[lx1[ox]] * wx;
+    float bot = r1[lx0[ox]] * (1 - wx) + r1[lx1[ox]] * wx;
+    d[ox] = top * (1 - wy) + bot * wy;
+  }
+}
+
+bool vd_use_avx512() {
+  static const bool hw = __builtin_cpu_supports("avx512f") != 0;
+  if (!hw) return false;
+  const char* e = getenv("HAAR_SIMD");  // same kill-switch as the scanner
+  return !(e && e[0] == '0');
+}
+#endif
+
 // Rows [oy0,oy1) x cols [ox0,ox1) of the virtual (oh,ow) bilinear resize of
 // a strided uint8 plane, written densely into dst ((oy1-oy0, ox1-ox0)).
 // Bit-identical to the corresponding region of a full-output resize — the
@@ -696,6 +727,11 @@ void resize_u8_region(const uint8_t* src, int stride, int h, int w,
                       const HLut& lut, int oh, int oy0, int oy1, int ox0,
                       int ox1, float* dst) {
   const int dw = ox1 - ox0;
+#ifdef VD_HAVE_AVX512_BUILD
+  // gather safety: dword gathers read up to 3 bytes past column w-1, and
+  // the last plane row has no guaranteed padding below it
+  const bool simd = vd_use_avx512() && stride >= w + 4;
+#endif
   for (int oy = oy0; oy < oy1; ++oy) {
     float fy = (oy + 0.5f) * (float)h / oh - 0.5f;
     int y0 = (int)std::floor(fy);
@@ -706,6 +742,13 @@ void resize_u8_region(const uint8_t* src, int stride, int h, int w,
     const uint8_t* r0 = src + (size_t)y0 * stride;
     const uint8_t* r1 = src + (size_t)y1 * stride;
     float* d = dst + (size_t)(oy - oy0) * dw;
+#ifdef VD_HAVE_AVX512_BUILD
+    if (simd && y1 < h - 1) {  // last source row: scalar (no row below)
+      resize_u8_row_avx512(r0, r1, lut.x0.data() + ox0, lut.x1.data() + ox0,
+                           lut.wx.data() + ox0, wy, d, ox1 - ox0);
+      continue;
+    }
+#endif
     for (int ox = ox0; ox < ox1; ++ox) {
       float wx = lut.wx[ox];
       float top = r0[lut.x0[ox]] * (1 - wx) + r0[lut.x1[ox]] * wx;
@@ -777,14 +820,20 @@ bool detect_largest_gray(const HaarModel& m, const float* gray, int gh,
                          int max_size, double out_xywh[4],
                          std::vector<float>& raw,
                          double scale_factor = 1.1) {
-  const int cap = 8192;
-  raw.resize((size_t)cap * 3);
-  int n = haar_scan(gray, gh, gw, m.rects, m.weights, m.feat_idx, m.node_thr,
-                    m.leaves, m.stage_ends, m.stage_thr, m.n_stages, m.win_w,
-                    m.win_h, scale_factor, min_size, max_size,
-                    raw.data(), cap);
+  // haar_scan returns the TRUE surviving-window count: on overflow grow
+  // the buffer and rescan once, so grouping never votes on a silently
+  // truncated set (texture-dense frames can exceed any fixed cap)
+  int cap = 8192;
+  int n;
+  for (;;) {
+    raw.resize((size_t)cap * 3);
+    n = haar_scan(gray, gh, gw, m.rects, m.weights, m.feat_idx, m.node_thr,
+                  m.leaves, m.stage_ends, m.stage_thr, m.n_stages, m.win_w,
+                  m.win_h, scale_factor, min_size, max_size, raw.data(), cap);
+    if (n <= cap) break;
+    cap = n;
+  }
   if (n <= 0) return false;
-  if (n > cap) n = cap;
   return group_largest(raw.data(), n, min_neighbors, out_xywh);
 }
 
@@ -949,7 +998,14 @@ int vd_sample_seek_faces_yuv(
       double side = std::max(prev[2] - prev[0], prev[3] - prev[1]) / scale;
       double cx = 0.5 * (prev[0] + prev[2]) / scale;
       double cy = 0.5 * (prev[1] + prev[3]) / scale;
-      if (roi_scan(cx, cy, side, track_expand, 0.6, 1.6, box)) {
+      // two-tier track (r5): a narrow VERIFY band first — faces change
+      // scale slowly between samples, so ±25% around the tracked size
+      // (~4 pyramid levels) confirms the face at ~1/4 the cost of the
+      // full tracked band; the [0.6, 1.6] band only runs when the verify
+      // band comes up empty, and a full acquisition below when both do.
+      if (roi_scan(cx, cy, side, std::min(1.5, track_expand), 0.8, 1.25,
+                   box) ||
+          roi_scan(cx, cy, side, track_expand, 0.6, 1.6, box)) {
         found = true;
         how = 1;
       }
@@ -965,7 +1021,7 @@ int vd_sample_seek_faces_yuv(
       ensure_gray();
       int aw = std::max(win_w, gw / 2), ah = std::max(win_h, gh / 2);
       std::vector<float> coarse((size_t)aw * ah);
-      resize_f32_bilinear(gray.data(), gh, gw, coarse.data(), ah, aw);
+      haar_resize_f32(gray.data(), gh, gw, coarse.data(), ah, aw);
       double cbox[4];
       if (detect_largest_gray(hm, coarse.data(), ah, aw, min_neighbors,
                               win_w, 0, cbox, raw, 1.15)) {
