@@ -1,10 +1,14 @@
 """End-to-end serving benchmark on the real chip.
 
 Measures the FULL production inference pipeline per SURVEY.md §3.1 —
-native C++ video decode (keyframe sampling) → face crop+resize on device →
-EfficientNet-B0 detector forward in bf16 — over a fleet of DFDC-shaped clips
-(360p, 10 s @ 30 fps, 300 frames), with host decode fanned out across a
-thread pool overlapping the TPU compute.
+native C++ video decode (keyframe sampling) → REAL in-decoder Viola-Jones
+face detection with temporal tracking (the default headline since r5; the
+reference's serving path always detects, app.py:1988-2025) → face
+crop+resize → EfficientNet-B0 forward in bf16 — over a fleet of DFDC-shaped
+clips (360p, 10 s @ 30 fps, 300 frames), with host decode fanned out across
+a thread pool overlapping the TPU compute. The decode-roofline number
+(center face prior, no detection) rides along as a side-channel so the
+artifact decomposes the gap: host decode + relay transfer vs detection.
 
 Baseline: the driver-set north star of 50 DFDC clips/sec/chip end-to-end
 (BASELINE.json; the reference publishes no measured numbers — SURVEY.md §6).
@@ -36,10 +40,13 @@ BATCH = int(os.environ.get("BENCH_BATCH", 16))
 # smooth-gradient fleet for A/B. The measured fleet bitrate is recorded in
 # the output's unit string either way.
 FLEET = os.environ.get("BENCH_FLEET", "real").strip().lower()
-# BENCH_DETECTOR=center (decode-roofline face prior, in-decoder crop) or
-# haar (REAL in-decoder Viola-Jones detection with temporal tracking —
-# the reference's production path always detects, app.py:1988-2025)
-DETECTOR = os.environ.get("BENCH_DETECTOR", "center").strip().lower()
+# BENCH_DETECTOR=haar (default since r5: REAL in-decoder Viola-Jones
+# detection with temporal tracking — the reference's production path always
+# detects, app.py:1988-2025, so the HEADLINE number carries detection) or
+# center (the decode-roofline face prior, in-decoder crop — recorded as the
+# side-channel either way so the artifact shows where the remaining gap
+# sits: host decode + relay transfer, not detection)
+DETECTOR = os.environ.get("BENCH_DETECTOR", "haar").strip().lower()
 
 
 def _synth_face(size: int) -> np.ndarray:
@@ -391,10 +398,11 @@ def main() -> None:
     # CONCURRENTLY through the relay (measured ~2× effective bandwidth vs
     # serial puts) and overlap both decode and compute.
     decode_workers = int(os.environ.get("BENCH_DECODE_WORKERS", 3))
-    # BENCH_DISPATCH=thread moves upload AND forward dispatch into the
+    # BENCH_DISPATCH=thread (default; measured +1.5-3 clips/s over =main in
+    # the r5 config sweep) moves upload AND forward dispatch into the
     # transfer threads (main thread only shepherds decode futures);
     # =main keeps dispatch on the main thread between decode waits.
-    dispatch_mode = os.environ.get("BENCH_DISPATCH", "main")
+    dispatch_mode = os.environ.get("BENCH_DISPATCH", "thread")
 
     def run_once() -> float:
         import collections
@@ -486,21 +494,27 @@ def main() -> None:
                  f">1200 clips/s)"),
         "vs_baseline": round(clips_per_sec / baseline, 3),
     }
-    if DETECTOR == "center" and os.environ.get("BENCH_HAAR_SIDE", "1") != "0":
-        # honesty side-channel (VERDICT r3): the SAME pipeline with REAL
-        # in-decoder Viola-Jones detection, one 3-run group — so the
-        # recorded artifact always carries the detection-on number next to
-        # the crop-prior headline.
+    if os.environ.get("BENCH_SIDE_CHANNEL", "1") != "0":
+        # honesty side-channel: the SAME pipeline with the OTHER detector —
+        # haar headline carries the center (decode-roofline) number so the
+        # artifact shows how much of the remaining gap is detection vs
+        # decode+transfer; center headline carries the detection-on number.
+        # Two 2-run groups spaced ~20 s sample distinct relay windows
+        # (advisor r4: a single group can be pure weather).
+        other = "center" if DETECTOR == "haar" else "haar"
+        key = f"{other}_e2e_clips_per_sec"
         try:
-            hext = FaceExtractor(detector="haar", face_size=FACE)
-            if hext.detector != "haar":
+            oext = FaceExtractor(detector=other, face_size=FACE)
+            if oext.detector != other:
                 raise RuntimeError("no haar cascade XML installed")
-            decode_into = make_decode_into(hext)
+            decode_into = make_decode_into(oext)
             decode_into(paths[0], warm)          # build/branch warm-up
-            dth = min(run_once() for _ in range(3))
-            result["haar_e2e_clips_per_sec"] = round(len(paths) / dth, 2)
+            dto = min(run_once() for _ in range(2))
+            time.sleep(20)
+            dto = min(dto, min(run_once() for _ in range(2)))
+            result[key] = round(len(paths) / dto, 2)
         except Exception as e:
-            result["haar_e2e_clips_per_sec"] = f"unavailable: {e}"
+            result[key] = f"unavailable: {e}"
     print(json.dumps(result))
 
 
