@@ -109,6 +109,22 @@ def threshold_sweep(
     return best
 
 
+def real_score_quantiles(y_true, prob_fake, fake_index: int = 1,
+                         n: int = 101):
+    """Empirical quantiles (``n`` points, p = 0..1) of ``prob_fake`` over
+    the REAL-class validation clips — written into ``calibration_best.json``
+    so serving can apply the order-statistics (Šidák) threshold correction
+    when a long-video scan thresholds the MAX of W window scores
+    (``serve/predict.py::windowed_threshold``). Returns None when the
+    validation split has no real-class samples."""
+    y = np.asarray(y_true, np.int64)
+    s = np.asarray(prob_fake, np.float64)
+    real = s[y != fake_index]
+    if real.size == 0:
+        return None
+    return [float(v) for v in np.quantile(real, np.linspace(0.0, 1.0, n))]
+
+
 def full_metrics(y_true, prob_fake, threshold: float = 0.5,
                  fake_index: int = 1) -> Dict[str, object]:
     """The evaluator's metric bundle (≙ ``src/evaluate.py:195-284``)."""

@@ -47,9 +47,10 @@ def _get_fake_class_index(num_classes: int = 2) -> int:
     return idx if idx in (0, 1) and num_classes == 2 else (1 if num_classes == 2 else 0)
 
 
-def load_calibration_threshold(checkpoint_path: Optional[str]) -> Optional[float]:
-    """``calibration_best.json`` next to the checkpoint
-    (≙ ``_load_calibration_threshold``, ``app.py:1783-1799``)."""
+def load_calibration(checkpoint_path: Optional[str]) -> Optional[dict]:
+    """The full ``calibration_best.json`` next to the checkpoint (threshold
+    keys ≙ ``_load_calibration_threshold``, ``app.py:1783-1799``; plus the
+    first-party ``real_score_quantiles`` used by ``windowed_threshold``)."""
     if not checkpoint_path:
         return None
     cal = os.path.join(os.path.dirname(checkpoint_path), "calibration_best.json")
@@ -57,11 +58,48 @@ def load_calibration_threshold(checkpoint_path: Optional[str]) -> Optional[float
         return None
     try:
         with open(cal) as f:
-            data = json.load(f)
-        thr = data.get("best_thr_accuracy", data.get("best_thr_f1"))
-        return float(thr) if thr is not None else None
+            return json.load(f)
     except (OSError, ValueError):
         return None
+
+
+def load_calibration_threshold(checkpoint_path: Optional[str]) -> Optional[float]:
+    """``calibration_best.json`` next to the checkpoint
+    (≙ ``_load_calibration_threshold``, ``app.py:1783-1799``)."""
+    data = load_calibration(checkpoint_path)
+    if not data:
+        return None
+    try:
+        thr = data.get("best_thr_accuracy", data.get("best_thr_f1"))
+        return float(thr) if thr is not None else None
+    except (TypeError, ValueError):
+        return None
+
+
+def windowed_threshold(thr: float, windows: int, quantiles) -> float:
+    """Order-statistics (Šidák) correction for max-of-W scan verdicts.
+
+    The calibrated threshold ``thr`` was fit on SINGLE-span scores; a
+    windowed scan thresholds the MAX of ``windows`` scores, so a real
+    video's false-positive odds inflate with W (docs/serving.md r4 caveat —
+    closed in r5). With the empirical CDF F of real-class scores
+    (``real_score_quantiles`` from calibration): the single-span FPR is
+    α = 1 − F(thr); keeping the per-VIDEO FPR at α under W approximately
+    independent window draws needs per-window α' = 1 − (1−α)^(1/W), i.e.
+    threshold F⁻¹(1 − α'). Returns max(thr, corrected) — the correction
+    only ever raises the bar. Falls back to ``thr`` unchanged when no
+    quantiles were recorded (pre-r5 calibration artifacts)."""
+    if windows <= 1 or not quantiles:
+        return thr
+    q = np.maximum.accumulate(np.asarray(quantiles, np.float64))
+    if q.size < 2:
+        return thr
+    ps = np.linspace(0.0, 1.0, q.size)
+    alpha = 1.0 - float(np.interp(thr, q, ps))
+    if alpha <= 0.0:
+        return thr  # thr already above every real score seen in validation
+    alpha_w = 1.0 - (1.0 - alpha) ** (1.0 / windows)
+    return max(thr, float(np.interp(1.0 - alpha_w, ps, q)))
 
 
 def _detection_threshold(default: float) -> float:
@@ -467,6 +505,18 @@ class Predictor:
                 "prob_fake": [round(float(p), 6)
                               for p in probs_all[:, fake_idx]],
             }
+            if num_faces < need:
+                # detector dropped undetected frames and the remainder was
+                # cycle-padded (_pad_to_fixed_scan_shape): window i no
+                # longer covers the i-th uniform time segment — say so
+                # rather than let a consumer localize a fake from the index
+                win_payload["temporal_alignment"] = "cycled"
+                win_payload["note"] = (
+                    "some sampled frames had no detected face and were "
+                    "dropped before cycle-padding; window indices are "
+                    "approximate, not uniform time segments")
+            else:
+                win_payload["temporal_alignment"] = "exact"
         probs = probs_all[widx]
         real_idx = 1 - fake_idx if probs.shape[0] == 2 else 0
         prob_fake = float(probs[fake_idx])
@@ -478,6 +528,21 @@ class Predictor:
         if not env_bool("ALLOW_EXTREME_CALIBRATION_THRESHOLD") and \
                 (thr < 0.05 or thr > 0.95):
             thr = 0.5
+        if windows > 1 and env_bool("SERVE_WINDOW_CAL", True):
+            # max-of-W inflates real-video FPR at the single-span threshold;
+            # correct via the calibration artifact's real-score CDF
+            cal = load_calibration(self.checkpoint_path) or {}
+            thr_w = windowed_threshold(thr, int(probs_all.shape[0]),
+                                       cal.get("real_score_quantiles"))
+            if win_payload is not None:
+                win_payload["threshold_correction"] = {
+                    "method": ("order-statistics over the calibration "
+                               "real-score quantiles"
+                               if thr_w != thr else "unavailable"),
+                    "base": round(float(thr), 6),
+                    "effective": round(float(thr_w), 6),
+                }
+            thr = thr_w
         is_fake = prob_fake >= thr
         pred_class = 1 if is_fake else 0
         confidence = prob_fake if is_fake else prob_real

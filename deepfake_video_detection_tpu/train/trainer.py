@@ -43,7 +43,8 @@ from deepfake_video_detection_tpu.data.augment import AugmentConfig, augment_bat
 from deepfake_video_detection_tpu.data.loader import Loader, prefetch_to_device
 from deepfake_video_detection_tpu.data.normalize import imagenet_normalize
 from deepfake_video_detection_tpu.evals.metrics import (
-    binary_metrics, confusion_matrix, roc_auc, threshold_sweep)
+    binary_metrics, confusion_matrix, real_score_quantiles, roc_auc,
+    threshold_sweep)
 from deepfake_video_detection_tpu.checkpoint.store import (
     load_checkpoint, restore_opt_state, save_checkpoint, save_torch_checkpoint)
 from deepfake_video_detection_tpu.train import losses as losses_mod
@@ -629,6 +630,10 @@ class Trainer:
         m["confusion"] = confusion_matrix(labels, preds).tolist()
         if self.cfg.threshold_sweep and labels.size:
             m.update(threshold_sweep(labels, prob_fake, fake_index=self.fake_index))
+            rq = real_score_quantiles(labels, prob_fake,
+                                      fake_index=self.fake_index)
+            if rq is not None:
+                m["real_score_quantiles"] = rq
         if write_preds:
             self._write_preds_csv(epoch, paths_all, labels, preds, prob_fake)
         return m
@@ -669,6 +674,11 @@ class Trainer:
             "best_f1": metrics.get("best_f1", metrics.get("f1", 0.0)),
             "epoch": epoch,
         }
+        if metrics.get("real_score_quantiles") is not None:
+            # real-class score CDF — lets serving correct the decision
+            # threshold for max-of-W windowed scans (order statistics)
+            self.calibration["real_score_quantiles"] = (
+                metrics["real_score_quantiles"])
         with open(os.path.join(self.cfg.out_dir, "calibration_best.json"), "w") as f:
             json.dump(self.calibration, f, indent=2)
 

@@ -546,6 +546,95 @@ def test_predict_windows_scans_long_video(monkeypatch):
     assert out1["prediction"] == "Real"
 
 
+def test_windowed_threshold_controls_fpr():
+    """r5 (VERDICT r4 item 7): thresholding the MAX of W window scores at a
+    single-span-calibrated threshold inflates real-video FPR with W; the
+    order-statistics correction over the calibration real-score quantiles
+    brings it back to the calibrated rate."""
+    from deepfake_video_detection_tpu.serve.predict import windowed_threshold
+
+    rng = np.random.default_rng(0)
+    real = rng.beta(2.0, 8.0, 20000)          # real-video single-span scores
+    q = np.quantile(real, np.linspace(0, 1, 101)).tolist()
+    thr = float(np.quantile(real, 0.95))      # calibrated at alpha = 0.05
+    W = 8
+    sims = rng.beta(2.0, 8.0, (5000, W)).max(axis=1)  # W-window real clips
+    fpr_raw = float((sims >= thr).mean())
+    thr_w = windowed_threshold(thr, W, q)
+    fpr_cor = float((sims >= thr_w).mean())
+    assert fpr_raw > 0.25                      # ~1 - 0.95^8 = 0.34: inflated
+    assert fpr_cor < 0.10                      # corrected back near alpha
+    assert thr_w > thr
+    # degenerate inputs leave the threshold alone
+    assert windowed_threshold(thr, W, None) == thr
+    assert windowed_threshold(thr, 1, q) == thr
+    assert windowed_threshold(1.0, W, q) == 1.0
+
+
+def test_predict_windows_applies_threshold_correction(monkeypatch, tmp_path):
+    """The correction flows from calibration_best.json through the verdict:
+    a borderline clip that the raw threshold would flag stays Real under
+    the corrected threshold, and the payload reports both values."""
+    import json
+
+    import jax.numpy as jnp
+
+    from deepfake_video_detection_tpu.serve.predict import Predictor
+
+    class StubDetector:
+        def init(self, rng):
+            return {"params": {}, "state": {}}
+
+        def apply(self, variables, x, train=False, rng=None):
+            B, T = x.shape[0], x.shape[1]
+            m = jnp.mean(x, axis=(1, 2, 3, 4))
+            logits = jnp.stack([m, -m], axis=-1) * 2.0
+            return (logits, jnp.full((B, T), 1.0 / T)), {}
+
+    # calibration artifact: thr 0.5 sits at the 90th real-score percentile
+    rng = np.random.default_rng(1)
+    real = np.clip(rng.normal(0.30, 0.16, 4000), 0, 1)
+    ckpt = tmp_path / "best_model.npz"
+    ckpt.write_bytes(b"")
+    (tmp_path / "calibration_best.json").write_text(json.dumps({
+        "best_thr_accuracy": float(np.quantile(real, 0.90)),
+        "real_score_quantiles":
+            np.quantile(real, np.linspace(0, 1, 101)).tolist(),
+    }))
+
+    monkeypatch.setenv("MIN_FACES", "1")
+    monkeypatch.setenv("DETECT_ABSTAIN_CONF", "0.0")
+    model = StubDetector()
+    pred = Predictor(model, model.init(None), "pretrained",
+                     checkpoint_path=str(ckpt),
+                     extractor=FaceExtractor(detector="center", face_size=16))
+
+    # windows whose prob_fake lands between base and corrected threshold:
+    # logits scale 2.0 -> prob_fake = sigmoid(-2*2*m) over mean-normalized
+    # pixels; search a gray level that scores just above the base thr
+    base = json.loads((tmp_path / "calibration_best.json").read_text())[
+        "best_thr_accuracy"]
+    out, borderline = None, None
+    for level in range(64, 160, 2):
+        w = np.full((3 * 4, 16, 16, 3), level, np.uint8)
+        cand = pred._predict_pretrained(w, "cal", windows=3)
+        pf = cand["prob_fake"]
+        if base < pf < cand["windows"]["threshold_correction"]["effective"]:
+            out, borderline = cand, w
+            break
+    assert out is not None, "no gray level landed between the thresholds"
+    corr = out["windows"]["threshold_correction"]
+    assert corr["effective"] > corr["base"]
+    assert out["threshold"] == pytest.approx(corr["effective"])
+    assert out["prediction"] == "Real"          # raw thr would have flagged
+    # kill-switch: the same clip with SERVE_WINDOW_CAL=0 is judged at the
+    # base threshold and flips to Deepfake
+    monkeypatch.setenv("SERVE_WINDOW_CAL", "0")
+    out_raw = pred._predict_pretrained(borderline, "cal", windows=3)
+    assert "threshold_correction" not in out_raw["windows"]
+    assert out_raw["prediction"] == "Deepfake"
+
+
 def test_results_page_renders_window_strip():
     from deepfake_video_detection_tpu.serve import templates as T
 
