@@ -131,8 +131,12 @@ class AuthStore:
         api_key = env_str("FIREBASE_API_KEY")
         if not api_key:
             return None
-        url = (f"https://identitytoolkit.googleapis.com/v1/accounts:"
-               f"{endpoint}?key={api_key}")
+        # base override: tests point this at a loopback mock server so the
+        # LIVE request path (request formation, response parsing, error
+        # fallback) is exercised without network (tests/test_aux.py)
+        base = (env_str("FIREBASE_IDENTITY_BASE")
+                or "https://identitytoolkit.googleapis.com/v1")
+        url = f"{base}/accounts:{endpoint}?key={api_key}"
         body = json.dumps({"email": email, "password": password,
                            "returnSecureToken": True}).encode()
         req = urllib.request.Request(

@@ -204,3 +204,201 @@ def test_rtdb_upload_mirror(tmp_path, monkeypatch):
     store.add_upload("local@x.io", {"id": "L1"})
     assert store.list_uploads("local@x.io") == [{"id": "L1"}]
     assert len(calls) == n_calls
+
+
+# ---------------------------------------------------------------------------
+# Live-HTTP-path coverage for the Gemini + Firebase integrations against a
+# loopback mock server (VERDICT r4 item 6): request formation, response
+# parsing, error fallback and the keyword guardrail — no network needed.
+# ---------------------------------------------------------------------------
+
+
+import contextlib
+import json as _json
+
+
+@contextlib.contextmanager
+def _loopback_server(responder):
+    """Serve ``responder(method, path, body) -> (status, json_payload)`` on
+    an ephemeral loopback port; yields (base_url, recorded_calls)."""
+    import http.server
+    import threading
+
+    calls = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def _handle(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(n) if n else b""
+            calls.append((self.command, self.path, body))
+            status, payload = responder(self.command, self.path, body)
+            data = _json.dumps(payload).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        do_GET = do_POST = do_PUT = _handle
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}", calls
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_gemini_chat_live_path_guardrail_and_fallback(monkeypatch):
+    """≙ app.py:1190-1212: the LIVE Gemini branch — prompt carries the
+    last-result context, reply text is extracted from the candidates
+    payload; the keyword guardrail answers off-topic messages locally
+    without touching the API; HTTP errors fall back to the local reply."""
+    from deepfake_video_detection_tpu.serve import chat
+
+    def ok(method, path, body):
+        assert method == "POST" and "generateContent" in path
+        req = _json.loads(body)
+        assert "deepfake" in req["contents"][0]["parts"][0]["text"].lower()
+        return 200, {"candidates": [{"content": {"parts": [
+            {"text": "Your clip scored prob_fake 0.93 — likely a deepfake."}
+        ]}}]}
+
+    last = {"prediction": "Deepfake", "prob_fake": 0.93}
+    with _loopback_server(ok) as (base, calls):
+        monkeypatch.setattr(
+            chat, "_GEMINI_URL",
+            base + "/v1beta/models/gemini-1.5-flash:generateContent?key={key}")
+        out = chat.generate_chat_reply_gemini(
+            "why was my video flagged as a deepfake?", last, api_key="K")
+        assert out.startswith("Your clip scored prob_fake 0.93")
+        assert len(calls) == 1
+        assert "key=K" in calls[0][1]
+        # context JSON rode along in the prompt
+        assert "0.93" in calls[0][2].decode()
+
+        # guardrail: off-topic never reaches the live API
+        out2 = chat.generate_chat_reply_gemini(
+            "what's the weather in Paris?", last, api_key="K")
+        assert "deepfake detection topics" in out2
+        assert len(calls) == 1
+
+    def err(method, path, body):
+        return 500, {"error": "boom"}
+
+    with _loopback_server(err) as (base, calls):
+        monkeypatch.setattr(
+            chat, "_GEMINI_URL",
+            base + "/v1beta/models/gemini-1.5-flash:generateContent?key={key}")
+        out3 = chat.generate_chat_reply_gemini(
+            "why was my video flagged as a deepfake?", last, api_key="K")
+        assert len(calls) == 1          # live path attempted...
+        assert out3 == chat.generate_chat_reply(
+            "why was my video flagged as a deepfake?", last)  # ...then local
+
+
+def test_gemini_report_live_and_error_fallback(monkeypatch):
+    """≙ app.py:1215-1285: report generator's live path + 200-word local
+    fallback on API failure."""
+    from deepfake_video_detection_tpu.serve import chat
+    from deepfake_video_detection_tpu.serve.predict import (
+        simple_english_justification_200_words)
+
+    result = {"prediction": "Real", "prob_fake": 0.12, "prob_real": 0.88,
+              "confidence": 0.88, "num_faces": 8, "threshold": 0.5}
+
+    def ok(method, path, body):
+        assert b"200-word" in body
+        return 200, {"candidates": [{"content": {"parts": [
+            {"text": "REPORT TEXT"}]}}]}
+
+    with _loopback_server(ok) as (base, calls):
+        monkeypatch.setattr(
+            chat, "_GEMINI_URL", base + "/gen?key={key}")
+        assert chat.gemini_generate_english_report(
+            result, "a.mp4", api_key="K") == "REPORT TEXT"
+        assert len(calls) == 1
+
+    def err(method, path, body):
+        return 503, {}
+
+    with _loopback_server(err) as (base, calls):
+        monkeypatch.setattr(chat, "_GEMINI_URL", base + "/gen?key={key}")
+        out = chat.gemini_generate_english_report(result, "a.mp4", api_key="K")
+        assert out == simple_english_justification_200_words(result, "a.mp4")
+        assert len(calls) == 1
+
+
+def test_firebase_live_signup_signin_loopback(tmp_path, monkeypatch):
+    """≙ app.py:1021-1055: the LIVE identitytoolkit branch — signUp and
+    signInWithPassword request formation + localId capture; a 400 from the
+    API (wrong credentials) degrades to the local users.json path."""
+    from deepfake_video_detection_tpu.serve.auth import AuthStore
+
+    accounts = {}
+
+    def fb(method, path, body):
+        req = _json.loads(body)
+        assert req["returnSecureToken"] is True
+        if "accounts:signUp" in path:
+            accounts[req["email"]] = req["password"]
+            return 200, {"localId": "uid-42", "idToken": "tok1",
+                         "email": req["email"]}
+        assert "accounts:signInWithPassword" in path
+        if accounts.get(req["email"]) == req["password"]:
+            return 200, {"localId": "uid-42", "idToken": "tok2"}
+        return 400, {"error": {"message": "INVALID_PASSWORD"}}
+
+    with _loopback_server(fb) as (base, calls):
+        monkeypatch.setenv("FIREBASE_API_KEY", "fbkey")
+        monkeypatch.setenv("FIREBASE_IDENTITY_BASE", base)
+        auth = AuthStore(data_dir=str(tmp_path))
+
+        token = auth.signup("User@Example.com", "hunter22")
+        assert token
+        assert auth.fb_uids["user@example.com"] == "uid-42"
+        assert auth.user_for_token(token) == "user@example.com"
+        assert "key=fbkey" in calls[0][1]
+
+        # live sign-in with the right password
+        token2 = auth.login("user@example.com", "hunter22")
+        assert token2 and auth.user_for_token(token2) == "user@example.com"
+
+        # wrong password: API 400 → local fallback → no local record → None
+        assert auth.login("user@example.com", "wrong") is None
+        assert len(calls) == 3
+
+
+def test_firebase_rtdb_live_mirror_roundtrip(tmp_path, monkeypatch):
+    """≙ app.py:815-831, 2880-2918: RTDB PUT on upload + GET/merge on list,
+    through the real urllib stack against a loopback RTDB."""
+    from deepfake_video_detection_tpu.serve.auth import AuthStore
+
+    store = {}
+
+    def rtdb(method, path, body):
+        if method == "PUT":
+            store[path] = _json.loads(body)
+            return 200, store[path]
+        if path == "/uploads/uid-7.json":
+            return 200, {rec["id"]: rec for rec in store.values()}
+        return 404, {}
+
+    with _loopback_server(rtdb) as (base, calls):
+        monkeypatch.setenv("FIREBASE_DATABASE_URL", base)
+        auth = AuthStore(data_dir=str(tmp_path))
+        auth.fb_uids["u@x.com"] = "uid-7"
+
+        rec = {"id": "up1", "filename": "a.mp4", "prediction": "Real"}
+        auth.add_upload("u@x.com", rec)
+        assert "/uploads/uid-7/up1.json" in store
+        # remote-only record (other device) appears after the merge
+        store["/uploads/uid-7/up9.json"] = {"id": "up9", "filename": "b.mp4"}
+        listed = auth.list_uploads("u@x.com")
+        ids = {r["id"] for r in listed}
+        assert ids == {"up1", "up9"}
