@@ -228,6 +228,9 @@ def main(argv=None) -> int:
                     help="auto|mtcnn|haar|center|none (default: auto — "
                          "mtcnn if MTCNN_WEIGHTS else haar else center)")
     ap.add_argument("--workers", type=int, default=os.cpu_count() or 4)
+    ap.add_argument("--batch-clips", dest="batch_clips", type=int, default=16,
+                    help="clips per device dispatch for --detector mtcnn "
+                         "(the cascade runs once over all their frames)")
     ap.add_argument("--no-seek-sampling", dest="seek_sampling",
                     action="store_false",
                     help="haar raw-video prep: scan every sample_rate-th "
@@ -259,21 +262,56 @@ def main(argv=None) -> int:
         if args.max_videos:
             videos = videos[: args.max_videos]
         ext = extractor or FaceExtractor(detector="none", face_size=args.size)
-        with _fut.ThreadPoolExecutor(args.workers) as pool:
-            futs = [(v, pool.submit(prepare_video, v, args.out_dir, ext,
-                                    labels, args.sample_rate,
-                                    args.max_frames, args.seek_sampling))
-                    for v in videos]
-            for v, f in futs:
-                # a corrupt/undecodable clip must not abort a whole prep run
-                # (DFDC-scale corpora always contain a few)
-                try:
-                    out = f.result()
-                except Exception as e:
-                    print(f"[prepare] skipping {v}: {e}")
-                    continue
-                if out:
-                    written.append(out)
+        if ext.detector == "mtcnn":
+            # batched mtcnn flow (r5): decode a batch of clips on the
+            # thread pool, run the cascade ONCE over all their frames
+            # (extract_from_frames_batch — one device dispatch per batch
+            # instead of per clip; dispatch through the TPU relay costs
+            # ~30 ms and starved the per-clip path), then save per clip.
+            bs = max(1, args.batch_clips)
+            with _fut.ThreadPoolExecutor(args.workers) as pool:
+                for start in range(0, len(videos), bs):
+                    chunk = videos[start:start + bs]
+                    futs = [(v, pool.submit(sample_video_frames, v,
+                                            args.sample_rate,
+                                            args.max_frames))
+                            for v in chunk if resolve_label(v, labels)
+                            is not None]
+                    decoded = []
+                    for v, f in futs:
+                        try:
+                            decoded.append((v, f.result()))
+                        except Exception as e:
+                            print(f"[prepare] skipping {v}: {e}")
+                    if not decoded:
+                        continue
+                    faces_list = ext.extract_from_frames_batch(
+                        [fr for _, fr in decoded])
+                    for (v, _), faces in zip(decoded, faces_list):
+                        if faces.shape[0] == 0:
+                            continue
+                        label = resolve_label(v, labels)
+                        stem = os.path.splitext(os.path.basename(v))[0]
+                        written.append(_save_npz(
+                            args.out_dir,
+                            f"{stem}_{'fake' if label else 'real'}",
+                            faces, label))
+        else:
+            with _fut.ThreadPoolExecutor(args.workers) as pool:
+                futs = [(v, pool.submit(prepare_video, v, args.out_dir, ext,
+                                        labels, args.sample_rate,
+                                        args.max_frames, args.seek_sampling))
+                        for v in videos]
+                for v, f in futs:
+                    # a corrupt/undecodable clip must not abort a whole prep
+                    # run (DFDC-scale corpora always contain a few)
+                    try:
+                        out = f.result()
+                    except Exception as e:
+                        print(f"[prepare] skipping {v}: {e}")
+                        continue
+                    if out:
+                        written.append(out)
     elif is_flat_frames_layout([os.path.basename(f) for f in images]):
         # layout 2: DFDC flat frames — group by video id, bounded buffers
         groups: Dict[str, List[str]] = defaultdict(list)

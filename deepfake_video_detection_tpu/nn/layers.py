@@ -269,20 +269,21 @@ def lstm(
 def _use_fused_attn() -> bool:
     """Fused (Pallas) attention policy for the ViT backbones.
 
-    ``VIT_FUSED_ATTN=1|0`` forces; default (auto) fuses on TPU backends.
-    Measured on hardware (r5, docs/performance.md): at ViT shapes
-    (N = 197, B·T·heads ≈ 1.5k) the XLA path materialises the f32 score
-    tensor (~240 MB/layer) in HBM and held the attention half at 24% MFU;
-    the single-block short-N kernel (``ops/attention.py``) keeps scores in
-    VMEM. CPU stays on the XLA path (Pallas interpret mode is test-only)."""
+    ``VIT_FUSED_ATTN=1`` opts in; the default is the XLA path — MEASURED
+    faster at ViT shapes on this chip (r5 A/B, tools/bench_vit_attention.py
+    + docs/performance.md "Short-N fused attention A/B"): at N = 197 with
+    B·T·heads ≈ 1.5k the XLA batched einsum (28.5 ms/pass attention halves)
+    beats both the per-head single-block Pallas kernel (46.6 ms — TPU
+    Pallas grids run sequentially, 18k programs) and the G=8
+    head-grouped variant (41.4 ms — thin d=64 batched matmuls under-fill
+    the MXU tiles). The score tensor's HBM traffic is real but XLA's
+    pipelining of one huge contraction wins anyway at this N; the short-N
+    kernel remains the right engine for long-sequence shapes
+    (``models/temporal_transformer.py`` thresholds)."""
     import os
 
     v = os.environ.get("VIT_FUSED_ATTN", "").strip()
-    if v in ("1", "true", "yes"):
-        return True
-    if v in ("0", "false", "no"):
-        return False
-    return jax.default_backend() in ("tpu", "axon")
+    return v in ("1", "true", "yes")
 
 
 def multi_head_attention(

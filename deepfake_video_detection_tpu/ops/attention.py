@@ -166,68 +166,83 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, dk_ref,
 _SHORT_MAX = 512  # n_pad up to this: single-block kernels (s fits VMEM)
 
 
+def _short_group(nbh: int, n_pad: int, budget_bytes: int) -> int:
+    """Batch·heads per short-N program: the largest divisor of ``nbh``
+    whose (G, Np, Np) f32 score slab fits ``budget_bytes`` of VMEM. TPU
+    Pallas grids run sequentially, so more heads per program = fewer
+    program launches AND fatter batched matmuls for the MXU."""
+    for g in (16, 8, 4, 2):
+        if nbh % g == 0 and g * n_pad * n_pad * 4 <= budget_bytes:
+            return g
+    return 1
+
+
 def _short_attn_kernel(q_ref, k_ref, v_ref, out_ref, lse_ref, *,
                        n_valid: int, scale: float):
-    """Short-N forward: ONE program per batch·head, whole sequence in VMEM,
-    plain in-register softmax — no streaming recurrence, no fori_loop. The
-    ViT backbones live here (N = 197 at 224 px): with B·T·heads ≈ 1.5k
-    programs the XLA path materialises ~240 MB of f32 scores per layer in
-    HBM, which capped the attention half at 24% MFU (VERDICT r4 item 4)."""
-    q = q_ref[0].astype(jnp.float32) * scale              # (Np, d)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    """Short-N forward: one program per GROUP of G batch·heads — the whole
+    (G, Np, d) slab sits in VMEM, scores stay in registers/VMEM, softmax is
+    plain (no streaming recurrence). The ViT backbones live here (N = 197
+    at 224 px): the XLA path materialises ~240 MB of f32 scores per layer
+    in HBM (capped the attention half at 24% MFU, VERDICT r4 item 4), and
+    a one-program-per-head kernel is grid-overhead-bound (TPU Pallas grids
+    run SEQUENTIALLY — B·T·H ≈ 18k tiny programs measured SLOWER than XLA;
+    docs/performance.md r5). Batched in-kernel dot_generals over G heads
+    keep the MXU fed with far fewer programs."""
+    q = q_ref[...].astype(jnp.float32) * scale            # (G, Np, d)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
     s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)               # (Np, Np)
-    key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)               # (G, Np, Np)
+    key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
     s = jnp.where(key_ids < n_valid, s, _NEG_INF)
-    m = jnp.max(s, axis=1, keepdims=True)                 # (Np, 1)
+    m = jnp.max(s, axis=2, keepdims=True)                 # (G, Np, 1)
     p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
+    l = jnp.sum(p, axis=2, keepdims=True)
     acc = jax.lax.dot_general(
-        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    out_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
-    lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))
+        p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)               # (G, Np, d)
+    out_ref[...] = (acc / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
+    lse_ref[...] = m + jnp.log(jnp.maximum(l, 1e-30))
 
 
 def _short_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref,
                       dq_ref, dk_ref, dv_ref, *, n_valid: int, scale: float):
-    """Short-N backward: dQ, dK and dV in ONE program per batch·head — S
-    and P are recomputed once (the streaming scheme recomputes them twice,
-    once in each of its two kernels)."""
-    q = q_ref[0].astype(jnp.float32)                      # (Np, d)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0]                                      # (Np, 1)
-    dcap = dcap_ref[0]
+    """Short-N backward: dQ, dK and dV in ONE program per group of G
+    batch·heads — S and P are recomputed once (the streaming scheme
+    recomputes them twice, once in each of its two kernels)."""
+    q = q_ref[...].astype(jnp.float32)                    # (G, Np, d)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    do = do_ref[...].astype(jnp.float32)
+    lse = lse_ref[...]                                    # (G, Np, 1)
+    dcap = dcap_ref[...]
     s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale       # (Np, Np)
-    key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale       # (G, Np, Np)
+    key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
     s = jnp.where(key_ids < n_valid, s, _NEG_INF)
     # padded query rows carry lse = 0 (zero-pad): exp(s) would be finite
     # there and corrupt dK/dV — zero P on those rows (dO is zero-padded,
     # so dV would survive, but dS = P*(dP − D) would not)
-    q_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-    p = jnp.where(q_ids < n_valid, jnp.exp(s - lse), 0.0)  # (Np, Np)
+    q_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    p = jnp.where(q_ids < n_valid, jnp.exp(s - lse), 0.0)  # (G, Np, Np)
     dv = jax.lax.dot_general(
-        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)               # (Np, d)
+        p, do, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)               # (G, Np, d)
     dp = jax.lax.dot_general(
-        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)               # (Np, Np)
+        do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)               # (G, Np, Np)
     ds = p * (dp - dcap)
     dq = jax.lax.dot_general(
-        ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     dk = jax.lax.dot_general(
-        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
-    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+        ds, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)               # (G, Np, d)
+    dq_ref[...] = (dq * scale).astype(dq_ref.dtype)
+    dk_ref[...] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
 
 
 def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
@@ -285,6 +300,7 @@ def _flash_bwd(interpret, res, g):
     n_q_pad, n_k_pad = qf.shape[1], kf.shape[1]
 
     if n_q_pad <= _SHORT_MAX:
+        G = _short_group(B * H, n_q_pad, budget_bytes=1024 * 1024)
         full = lambda shape: pl.BlockSpec(shape, lambda b: (b, 0, 0),
                                           memory_space=pltpu.VMEM)
         dq, dk, dv = pl.pallas_call(
@@ -292,12 +308,12 @@ def _flash_bwd(interpret, res, g):
             out_shape=[jax.ShapeDtypeStruct((B * H, n_q_pad, d), q.dtype),
                        jax.ShapeDtypeStruct((B * H, n_k_pad, d), k.dtype),
                        jax.ShapeDtypeStruct((B * H, n_k_pad, d), v.dtype)],
-            grid=(B * H,),
-            in_specs=[full((1, n_q_pad, d)), full((1, n_k_pad, d)),
-                      full((1, n_k_pad, d)), full((1, n_q_pad, d)),
-                      full((1, n_q_pad, 1)), full((1, n_q_pad, 1))],
-            out_specs=[full((1, n_q_pad, d)), full((1, n_k_pad, d)),
-                       full((1, n_k_pad, d))],
+            grid=(B * H // G,),
+            in_specs=[full((G, n_q_pad, d)), full((G, n_k_pad, d)),
+                      full((G, n_k_pad, d)), full((G, n_q_pad, d)),
+                      full((G, n_q_pad, 1)), full((G, n_q_pad, 1))],
+            out_specs=[full((G, n_q_pad, d)), full((G, n_k_pad, d)),
+                       full((G, n_k_pad, d))],
             interpret=interpret,
         )(qf, kf, vf, gf, lsef, dcapf)
         return (dq[:, :N].reshape(B, H, N, d),
@@ -356,6 +372,7 @@ def _flash_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     n_k_pad = kf.shape[1]
 
     if n_q_pad <= _SHORT_MAX:
+        G = _short_group(B * H, n_q_pad, budget_bytes=2 * 1024 * 1024)
         full = lambda shape: pl.BlockSpec(shape, lambda b: (b, 0, 0),
                                           memory_space=pltpu.VMEM)
         out, lse = pl.pallas_call(
@@ -363,10 +380,10 @@ def _flash_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             out_shape=[jax.ShapeDtypeStruct((B * H, n_q_pad, d), q.dtype),
                        jax.ShapeDtypeStruct((B * H, n_q_pad, 1),
                                             jnp.float32)],
-            grid=(B * H,),
-            in_specs=[full((1, n_q_pad, d)), full((1, n_k_pad, d)),
-                      full((1, n_k_pad, d))],
-            out_specs=[full((1, n_q_pad, d)), full((1, n_q_pad, 1))],
+            grid=(B * H // G,),
+            in_specs=[full((G, n_q_pad, d)), full((G, n_k_pad, d)),
+                      full((G, n_k_pad, d))],
+            out_specs=[full((G, n_q_pad, d)), full((G, n_q_pad, 1))],
             interpret=interpret,
         )(qf, kf, vf)
         return (out[:, :N].reshape(B, H, N, d),
