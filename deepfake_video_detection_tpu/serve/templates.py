@@ -601,11 +601,43 @@ function renderChart(es) {
       `<text class="legend-item${on[k] ? '' : ' off'}" data-k="${k}"
        x="${padL + j * 96}" y="14" fill="${c}"
        font-size="12">&#9632; ${k}</text>`).join('');
+    // hover crosshair + readout (the Plotly affordance the reference's
+    // chart has; <title> tooltips alone are laggy and invisible on touch)
+    out += `<g id="xhair" style="display:none;pointer-events:none">
+      <line id="xhair-line" y1="${padT}" y2="${H - padB}"
+            stroke="#46507a" stroke-dasharray="3,3"/>
+      <rect id="xhair-box" width="132" height="${16 * KEYS.length + 22}"
+            rx="6" fill="#10162b" stroke="#232d4a"/>
+      <text id="xhair-text" font-size="11" fill="#cdd3e1"></text></g>
+      <rect x="${padL}" y="${padT}" width="${W - padL - padR}"
+            height="${H - padT - padB}" fill="transparent" id="xhair-pad"/>`;
     svg.innerHTML = out;
     svg.querySelectorAll('.legend-item').forEach(el =>
       el.addEventListener('click', () => {
         on[el.dataset.k] = !on[el.dataset.k]; render();
       }));
+    const g = svg.querySelector('#xhair');
+    const pad = svg.querySelector('#xhair-pad');
+    pad.addEventListener('mouseleave', () => { g.style.display = 'none'; });
+    pad.addEventListener('mousemove', ev => {
+      const r = svg.getBoundingClientRect();
+      const mx = (ev.clientX - r.left) * W / r.width;
+      const i = Math.max(0, Math.min(es.length - 1, Math.round(
+        (mx - padL) * Math.max(es.length - 1, 1) / (W - padL - padR))));
+      const e = es[i];
+      g.style.display = '';
+      g.querySelector('#xhair-line').setAttribute('x1', x(i));
+      g.querySelector('#xhair-line').setAttribute('x2', x(i));
+      const bx = x(i) + 140 > W - padR ? x(i) - 142 : x(i) + 10;
+      const box = g.querySelector('#xhair-box');
+      box.setAttribute('x', bx); box.setAttribute('y', padT);
+      const t = g.querySelector('#xhair-text');
+      t.innerHTML = `<tspan x="${bx + 8}" y="${padT + 16}"
+        font-weight="bold">epoch ${e.epoch ?? i}</tspan>` +
+        KEYS.filter(([k]) => on[k]).map(([k, c], j) =>
+          `<tspan x="${bx + 8}" y="${padT + 32 + j * 16}" fill="${c}">` +
+          `${k}: ${(e[k] ?? 0).toFixed(3)}</tspan>`).join('');
+    });
   }
   render();
 }
