@@ -1024,7 +1024,7 @@ int vd_sample_seek_faces_yuv(
       haar_resize_f32(gray.data(), gh, gw, coarse.data(), ah, aw);
       double cbox[4];
       if (detect_largest_gray(hm, coarse.data(), ah, aw, min_neighbors,
-                              win_w, 0, cbox, raw, 1.15)) {
+                              win_w, 0, cbox, raw, 1.2)) {
         double fx = (double)gw / aw, fy = (double)gh / ah;
         double side = cbox[2] * fx;
         double cx = (cbox[0] + 0.5 * cbox[2]) * fx;
