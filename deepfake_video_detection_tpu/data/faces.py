@@ -332,7 +332,12 @@ class FaceExtractor:
                         chain = FaceExtractor(
                             detector="haar", face_size=self.face_size,
                             keep_all=self.keep_all, margin=self.margin)
-                        return chain.extract_from_frames(frames)
+                        # the chained extractor must not resolve back to
+                        # mtcnn (possible under test monkeypatching or a
+                        # pathological resolver override) — that would
+                        # recurse this fallback unboundedly
+                        if chain.detector != "mtcnn":
+                            return chain.extract_from_frames(frames)
                 boxes = center_square_boxes(n, H, W, self.margin)
                 return crop_and_resize_batch(frames, boxes, self.face_size)
             return crop_and_resize_batch(

@@ -634,9 +634,12 @@ def test_prepare_cli_mtcnn_batched_flow(tmp_path, monkeypatch):
         encode_video(str(vids / f"{'fake' if i % 2 else 'real'}_{i}.avi"),
                      frames, fps=10)
     out_dir = str(tmp_path / "faces")
-    # force the mtcnn branch despite missing weights: patch the resolver
+    # force the mtcnn branch despite missing weights: identity resolver
+    # (NOT constant-"mtcnn" — the no-detection fallback chain constructs a
+    # haar extractor, and a resolver that rewrites haar→mtcnn would recurse
+    # the chain unboundedly; the library now also guards against that)
     monkeypatch.setattr(FaceExtractor, "_resolve_detector",
-                        lambda self, req: "mtcnn")
+                        lambda self, req: req)
     rc = prepare.main(["--data_dir", str(vids), "--out_dir", out_dir,
                        "--detector", "mtcnn", "--size", "32",
                        "--max_frames", "4", "--batch-clips", "2"])
