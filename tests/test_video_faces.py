@@ -621,8 +621,8 @@ def test_mtcnn_batch_extraction_matches_per_clip():
 @pytest.mark.slow
 def test_prepare_cli_mtcnn_batched_flow(tmp_path, monkeypatch):
     """--detector mtcnn routes through the batched flow (decode pool → one
-    dispatch per clip batch → per-clip npz) end to end. Slow tier: the
-    CPU cascade compiles dominate (~minutes); the batched-vs-per-clip
+    dispatch per clip batch → per-clip npz) end to end. Slow tier: cold
+    CPU cascade compiles (several fresh shapes); the batched-vs-per-clip
     identity regression above stays in the default tier."""
     from deepfake_video_detection_tpu.data import prepare
 
